@@ -1,13 +1,129 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one query per implemented operator (SURVEY.md §2), each
+  * with a DuckDB-oracle SQL twin where the semantics are exactly
+  * SQL-expressible. Sketch estimates are EXACT (match COUNT(DISTINCT ..)
+  * bit-for-bit) whenever every group holds <= 128 distinct values — the
+  * reference's Small/Array exact range (src/estimator.rs:189-201) — which is
+  * what makes the oracle comparison sound for the _exact-mode queries below.
+  * HLL-range queries (groups > 128 distinct) are approximate by design and
+  * carry no oracle entry (rows-only check); their error bound is asserted in
+  * `sbt test` instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def read(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  /** Flagship query on sf=0.001: approximate distinct doc_ids per language.
+    * Driver smoke-checks rows > 0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    read(spark, "/root/testdata/sf0.001", "documents")
+      .groupBy(col("lang"))
+      .agg(ce_approx_distinct(col("doc_id")).as("approx_docs"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- exact-mode sketch queries (oracle: COUNT DISTINCT, bit-exact) -----
+    "q_ce_custkey_per_nation" -> ((s, dir) =>
+      read(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(ce_approx_distinct(col("c_custkey")).as("distinct_custkeys"))),
+
+    "q_ce_suppkey_per_nation" -> ((s, dir) =>
+      read(s, dir, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(ce_approx_distinct(col("s_suppkey")).as("distinct_suppkeys"))),
+
+    "q_ce_users_per_type_day" -> ((s, dir) =>
+      read(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day_ts"))
+        .agg(ce_approx_distinct(col("user_id")).as("distinct_users"))),
+
+    "q_ce_docs_per_lang_source" -> ((s, dir) =>
+      read(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(ce_approx_distinct(col("doc_id")).as("distinct_docs"))),
+
+    "q_ce_custs_per_orderday" -> ((s, dir) =>
+      read(s, dir, "orders")
+        .groupBy(date_trunc("DAY", col("o_orderdate")).as("order_day"))
+        .agg(ce_approx_distinct(col("o_custkey")).as("distinct_custs"))),
+
+    // string-typed input through the sketch (exact range)
+    "q_ce_types_per_user_bucket" -> ((s, dir) =>
+      read(s, dir, "events")
+        .groupBy(pmod(col("user_id"), lit(16)).as("user_bucket"))
+        .agg(ce_approx_distinct(col("event_type")).as("distinct_types"))),
+
+    // two-level roll-up: fine-grain sketches unioned to coarse grain —
+    // exercises ce_sketch + ce_merge_estimate (reference merge, estimator.rs:59-94)
+    "q_ce_reagg_docs_per_source" -> ((s, dir) =>
+      read(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(ce_sketch(col("doc_id")).as("sk"))
+        .groupBy(col("source"))
+        .agg(ce_merge_estimate(col("sk")).as("distinct_docs"))),
+
+    // salted two-phase aggregation (skew pattern from SURVEY.md §3.4):
+    // valid because sketch merge is associative/commutative
+    "q_ce_salted_custkey_per_nation" -> ((s, dir) =>
+      read(s, dir, "customer")
+        .groupBy(col("c_nationkey"), pmod(hash(col("c_custkey")), lit(8)).as("salt"))
+        .agg(ce_sketch(col("c_custkey")).as("sk"))
+        .groupBy(col("c_nationkey"))
+        .agg(ce_merge_estimate(col("sk")).as("distinct_custkeys"))),
+
+    // ----- HLL-mode queries (approximate; rows-only driver check) -----
+    "q_ce_orderkeys_per_flag" -> ((s, dir) =>
+      read(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(ce_approx_distinct(col("l_orderkey")).as("approx_orderkeys"))),
+
+    "q_ce_users_per_type" -> ((s, dir) =>
+      read(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(ce_approx_distinct(col("user_id")).as("approx_users"))),
+
+    "q_ce_urls_total" -> ((s, dir) =>
+      read(s, dir, "documents")
+        .agg(ce_approx_distinct(col("text"), 14).as("approx_texts"))),
+
+    // scalar surface: estimate + pairwise union over stored sketches
+    "q_ce_scalar_roundtrip" -> ((s, dir) =>
+      read(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(ce_sketch(col("doc_id")).as("sk"))
+        .select(col("source"), ce_estimate(col("sk")).as("distinct_docs"),
+          ce_estimate(ce_union(col("sk"), col("sk"))).as("distinct_docs_self_union")))
+  )
+
+  /** DuckDB oracle SQL — ONLY for queries whose groups stay in the exact
+    * (<=128 distinct) range. Column names match the Spark side exactly.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_ce_custkey_per_nation" ->
+      "SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS distinct_custkeys FROM customer GROUP BY c_nationkey",
+    "q_ce_suppkey_per_nation" ->
+      "SELECT s_nationkey, COUNT(DISTINCT s_suppkey) AS distinct_suppkeys FROM supplier GROUP BY s_nationkey",
+    "q_ce_users_per_type_day" ->
+      "SELECT event_type, date_trunc('day', ts) AS day_ts, COUNT(DISTINCT user_id) AS distinct_users FROM events GROUP BY 1, 2",
+    "q_ce_docs_per_lang_source" ->
+      "SELECT lang, source, COUNT(DISTINCT doc_id) AS distinct_docs FROM documents GROUP BY 1, 2",
+    "q_ce_custs_per_orderday" ->
+      "SELECT date_trunc('day', o_orderdate) AS order_day, COUNT(DISTINCT o_custkey) AS distinct_custs FROM orders GROUP BY 1",
+    "q_ce_types_per_user_bucket" ->
+      "SELECT user_id % 16 AS user_bucket, COUNT(DISTINCT event_type) AS distinct_types FROM events GROUP BY 1",
+    "q_ce_reagg_docs_per_source" ->
+      "SELECT source, COUNT(DISTINCT doc_id) AS distinct_docs FROM documents GROUP BY source",
+    "q_ce_salted_custkey_per_nation" ->
+      "SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS distinct_custkeys FROM customer GROUP BY c_nationkey",
+    "q_ce_scalar_roundtrip" ->
+      "SELECT source, COUNT(DISTINCT doc_id) AS distinct_docs, COUNT(DISTINCT doc_id) AS distinct_docs_self_union FROM documents GROUP BY source"
+  )
 }
