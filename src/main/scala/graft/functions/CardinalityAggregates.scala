@@ -33,10 +33,7 @@ private[graft] object SketchHashing {
     case DoubleType =>
       v => WyHash.hashLong(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
     case StringType =>
-      v => {
-        val b = v.asInstanceOf[UTF8String].getBytes
-        WyHash.hash(b, 0, b.length, 0L)
-      }
+      v => UnsafeWyHash.hashUTF8(v.asInstanceOf[UTF8String])
     case BinaryType =>
       v => {
         val b = v.asInstanceOf[Array[Byte]]
