@@ -100,7 +100,51 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(ce_sketch(col("doc_id")).as("sk"))
         .select(col("source"), ce_estimate(col("sk")).as("distinct_docs"),
-          ce_estimate(ce_union(col("sk"), col("sk"))).as("distinct_docs_self_union")))
+          ce_estimate(ce_union(col("sk"), col("sk"))).as("distinct_docs_self_union"))),
+
+    // ----- sketch family: Bloom / count-min / t-digest / KLL -----
+    // Bloom semi-join: build the filter on the dim side, broadcast the 1-row
+    // sketch, probe the fact side. Exact here because every o_custkey exists
+    // in customer (no false negatives by construction).
+    "q_bloom_orders_matching_customers" -> ((s, dir) => {
+      val bloom = read(s, dir, "customer")
+        .agg(bloom_agg(col("c_custkey"), 100000L, 0.001).as("bf"))
+      read(s, dir, "orders")
+        .crossJoin(broadcast(bloom))
+        .filter(bloom_might_contain(col("bf"), col("o_custkey")))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // count-min point frequencies: exact because 25 nation keys collide
+    // nowhere across 5 rows of width 4096 (deterministic, verified).
+    "q_cms_customers_per_nation" -> ((s, dir) => {
+      val cms = read(s, dir, "customer")
+        .agg(cms_agg(col("c_nationkey"), 5, 4096).as("cms"))
+      read(s, dir, "customer").select(col("c_nationkey")).distinct()
+        .crossJoin(broadcast(cms))
+        .select(col("c_nationkey"), cms_estimate(col("cms"), col("c_nationkey")).as("cnt"))
+    }),
+
+    // t-digest: q=0/1 are exact min/max by construction (interior quantiles
+    // are bound-checked in sbt test)
+    "q_tdigest_qty_bounds_per_flag" -> ((s, dir) =>
+      read(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(tdigest_agg(col("l_quantity"), 100).as("td"))
+        .select(col("l_returnflag"),
+          sketch_quantile(col("td"), 0.0).as("min_qty"),
+          sketch_quantile(col("td"), 1.0).as("max_qty"))),
+
+    // KLL: exact min/max; two-level merge roll-up of per-day sketches
+    "q_kll_value_bounds_per_type" -> ((s, dir) =>
+      read(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day_ts"))
+        .agg(kll_agg(col("value"), 256).as("k"))
+        .groupBy(col("event_type"))
+        .agg(sketch_merge(col("k"), "kll").as("k"))
+        .select(col("event_type"),
+          sketch_quantile(col("k"), 0.0).as("min_value"),
+          sketch_quantile(col("k"), 1.0).as("max_value")))
   )
 
   /** DuckDB oracle SQL — ONLY for queries whose groups stay in the exact
@@ -124,6 +168,14 @@ object SparkEntry {
     "q_ce_salted_custkey_per_nation" ->
       "SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS distinct_custkeys FROM customer GROUP BY c_nationkey",
     "q_ce_scalar_roundtrip" ->
-      "SELECT source, COUNT(DISTINCT doc_id) AS distinct_docs, COUNT(DISTINCT doc_id) AS distinct_docs_self_union FROM documents GROUP BY source"
+      "SELECT source, COUNT(DISTINCT doc_id) AS distinct_docs, COUNT(DISTINCT doc_id) AS distinct_docs_self_union FROM documents GROUP BY source",
+    "q_bloom_orders_matching_customers" ->
+      "SELECT COUNT(*) AS cnt FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer)",
+    "q_cms_customers_per_nation" ->
+      "SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY c_nationkey",
+    "q_tdigest_qty_bounds_per_flag" ->
+      "SELECT l_returnflag, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty FROM lineitem GROUP BY l_returnflag",
+    "q_kll_value_bounds_per_type" ->
+      "SELECT event_type, MIN(value) AS min_value, MAX(value) AS max_value FROM events GROUP BY event_type"
   )
 }

@@ -55,13 +55,76 @@ object functions {
   def wyhash64(col: Column): Column = toCol(WyHash64Expr(ex(col)))
 
   // ---------------------------------------------------------------------
+  // Sketch family: Bloom, count-min, t-digest, KLL (all mergeable UDAFs)
+  // ---------------------------------------------------------------------
+
+  /** Aggregate: mergeable Bloom filter of the values of col (BinaryType). */
+  def bloom_agg(col: Column, expectedItems: Long = 1000000L, fpp: Double = 0.01): Column =
+    toCol(BloomFilterAgg(ex(col), expectedItems, fpp).toAggregateExpression())
+
+  /** Scalar: membership probe against a serialized Bloom filter. */
+  def bloom_might_contain(sketch: Column, value: Column): Column =
+    toCol(BloomMightContain(ex(sketch), ex(value)))
+
+  /** Aggregate: mergeable count-min frequency sketch of col (BinaryType). */
+  def cms_agg(col: Column, depth: Int = 5, width: Int = 4096): Column =
+    toCol(CountMinAgg(ex(col), depth, width).toAggregateExpression())
+
+  /** Scalar: point-frequency upper bound from a serialized count-min sketch. */
+  def cms_estimate(sketch: Column, value: Column): Column =
+    toCol(CmsEstimate(ex(sketch), ex(value)))
+
+  /** Aggregate: mergeable t-digest quantile sketch of a numeric col. */
+  def tdigest_agg(col: Column, compression: Double = 100.0): Column =
+    toCol(TDigestAgg(ex(col), compression).toAggregateExpression())
+
+  /** Aggregate: mergeable KLL rank/quantile sketch of a numeric col. */
+  def kll_agg(col: Column, k: Int = 200): Column =
+    toCol(KllAgg(ex(col), k).toAggregateExpression())
+
+  /** Scalar: quantile from a serialized t-digest or KLL sketch (q in [0,1]). */
+  def sketch_quantile(sketch: Column, q: Double): Column =
+    toCol(SketchQuantile(ex(sketch), org.apache.spark.sql.catalyst.expressions.Literal(q)))
+
+  /** Aggregate: union a column of serialized sketches of the given family
+    * ("bloom", "cms", "tdigest", "kll").
+    */
+  def sketch_merge(col: Column, kind: String): Column =
+    toCol(SketchUnionAgg(ex(col), kind).toAggregateExpression())
+
+  // ---------------------------------------------------------------------
   // SQL registration
   // ---------------------------------------------------------------------
 
-  private def intArg(e: Expression, what: String): Int = e match {
-    case Literal(v: Int, _) => v
+  private def foldArg(e: Expression, what: String): Any = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be a constant, got $e")
+    e.eval()
+  }
+
+  private def intArg(e: Expression, what: String): Int = foldArg(e, what) match {
+    case v: Int => v
+    case v: Long => v.toInt
+    case v: Short => v.toInt
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def longArg(e: Expression, what: String): Long = foldArg(e, what) match {
+    case v: Int => v.toLong
+    case v: Long => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def doubleArg(e: Expression, what: String): Double = foldArg(e, what) match {
+    case v: Double => v
+    case v: Float => v.toDouble
+    case v: Int => v.toDouble
+    case v: Long => v.toDouble
+    case v: org.apache.spark.sql.types.Decimal => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
   }
 
   private val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -90,7 +153,42 @@ object functions {
     },
     "ce_estimate" -> { args => CeEstimate(args.head) },
     "ce_union" -> { args => CeUnion(args(0), args(1)) },
-    "wyhash64" -> { args => WyHash64Expr(args.head) }
+    "wyhash64" -> { args => WyHash64Expr(args.head) },
+    "bloom_agg" -> {
+      case Seq(c) => BloomFilterAgg(c).toAggregateExpression()
+      case Seq(c, n) => BloomFilterAgg(c, longArg(n, "expectedItems")).toAggregateExpression()
+      case Seq(c, n, p) =>
+        BloomFilterAgg(c, longArg(n, "expectedItems"), doubleArg(p, "fpp"))
+          .toAggregateExpression()
+      case args => throw new IllegalArgumentException(
+        s"bloom_agg expects (col[, expectedItems[, fpp]]), got ${args.size} args")
+    },
+    "bloom_might_contain" -> { args => BloomMightContain(args(0), args(1)) },
+    "cms_agg" -> {
+      case Seq(c) => CountMinAgg(c).toAggregateExpression()
+      case Seq(c, d, wd) =>
+        CountMinAgg(c, intArg(d, "depth"), intArg(wd, "width")).toAggregateExpression()
+      case args => throw new IllegalArgumentException(
+        s"cms_agg expects (col[, depth, width]), got ${args.size} args")
+    },
+    "cms_estimate" -> { args => CmsEstimate(args(0), args(1)) },
+    "tdigest_agg" -> {
+      case Seq(c) => TDigestAgg(c).toAggregateExpression()
+      case Seq(c, d) => TDigestAgg(c, doubleArg(d, "compression")).toAggregateExpression()
+      case args => throw new IllegalArgumentException(
+        s"tdigest_agg expects (col[, compression]), got ${args.size} args")
+    },
+    "kll_agg" -> {
+      case Seq(c) => KllAgg(c).toAggregateExpression()
+      case Seq(c, kk) => KllAgg(c, intArg(kk, "k")).toAggregateExpression()
+      case args => throw new IllegalArgumentException(
+        s"kll_agg expects (col[, k]), got ${args.size} args")
+    },
+    "sketch_quantile" -> { args => SketchQuantile(args(0), args(1)) },
+    "bloom_merge" -> { args => SketchUnionAgg(args.head, "bloom").toAggregateExpression() },
+    "cms_merge" -> { args => SketchUnionAgg(args.head, "cms").toAggregateExpression() },
+    "tdigest_merge" -> { args => SketchUnionAgg(args.head, "tdigest").toAggregateExpression() },
+    "kll_merge" -> { args => SketchUnionAgg(args.head, "kll").toAggregateExpression() }
   )
 
   /** Register the sketch functions for SQL use in an existing session:
