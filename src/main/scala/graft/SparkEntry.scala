@@ -144,7 +144,63 @@ object SparkEntry {
         .agg(sketch_merge(col("k"), "kll").as("k"))
         .select(col("event_type"),
           sketch_quantile(col("k"), 0.0).as("min_value"),
-          sketch_quantile(col("k"), 1.0).as("max_value")))
+          sketch_quantile(col("k"), 1.0).as("max_value"))),
+
+    // ----- training-data pipeline ops -----
+    // exact dedup on content hash: kept row count == COUNT(DISTINCT text)
+    "q_dedup_exact_count" -> ((s, dir) =>
+      graft.ops.Dedup.exactByHash(read(s, dir, "documents"), "doc_id", "text")
+        .agg(count(lit(1)).as("kept"))),
+
+    // MinHash-LSH near-dup dedup (not SQL-expressible; rows-only check)
+    "q_dedup_minhash_count" -> ((s, dir) =>
+      graft.ops.Dedup.minHashDedup(
+        read(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+        .agg(count(lit(1)).as("kept"))),
+
+    // text statistics with exact SQL twins
+    "q_text_stats" -> ((s, dir) =>
+      read(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        graft.ops.TextOps.tokenCountWhitespace(col("text")).cast("long").as("tok_ws"))),
+
+    // language-ID + quality + fingerprints (heuristics; rows-only check)
+    "q_text_quality" -> ((s, dir) =>
+      read(s, dir, "documents").select(
+        col("doc_id"),
+        graft.ops.TextOps.langId(col("text")).as("lang_pred"),
+        graft.ops.TextOps.qualityScore(col("text")).as("quality"),
+        graft.ops.TextOps.tokenCountBpeish(col("text")).cast("long").as("tok_bpeish"),
+        graft.ops.TextOps.docFingerprint(col("text")).as("fingerprint"),
+        simhash64(col("text")).as("simhash"))),
+
+    // brute-force cosine top-3 ANN (exact; DuckDB twin via list_cosine_similarity)
+    "q_ann_topk_bruteforce" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    // hyperplane-LSH ANN (approximate; rows-only check)
+    "q_ann_topk_lsh" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.ops.Similarity.lshTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 3, dim = 64, planes = 8, tables = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    // multimodal: binary blob features (decode stubs are exercised in sbt test)
+    "q_multimodal_features" -> ((s, dir) =>
+      graft.ops.Multimodal.binaryFeatures(
+        read(s, dir, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("blob")),
+        "blob")
+        .select(col("doc_id"), col("blob_bytes").cast("long").as("blob_bytes")))
   )
 
   /** DuckDB oracle SQL — ONLY for queries whose groups stay in the exact
@@ -176,6 +232,14 @@ object SparkEntry {
     "q_tdigest_qty_bounds_per_flag" ->
       "SELECT l_returnflag, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty FROM lineitem GROUP BY l_returnflag",
     "q_kll_value_bounds_per_type" ->
-      "SELECT event_type, MIN(value) AS min_value, MAX(value) AS max_value FROM events GROUP BY event_type"
+      "SELECT event_type, MIN(value) AS min_value, MAX(value) AS max_value FROM events GROUP BY event_type",
+    "q_dedup_exact_count" ->
+      "SELECT COUNT(DISTINCT text) AS kept FROM documents",
+    "q_text_stats" ->
+      "SELECT doc_id, LENGTH(text) AS n_chars, len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS tok_ws FROM documents",
+    "q_ann_topk_bruteforce" ->
+      "WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5) SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (SELECT q.qid, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id) rank FROM embeddings e, q) t WHERE rank <= 3",
+    "q_multimodal_features" ->
+      "SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS blob_bytes FROM documents"
   )
 }

@@ -93,6 +93,25 @@ object functions {
     toCol(SketchUnionAgg(ex(col), kind).toAggregateExpression())
 
   // ---------------------------------------------------------------------
+  // Dedup / fingerprint expressions (per-row, shuffle-free)
+  // ---------------------------------------------------------------------
+
+  /** Scalar: MinHash signature (array<bigint>) of a text column. */
+  def minhash_signature(col: Column, numHashes: Int = 128, shingleSize: Int = 5): Column =
+    toCol(MinHashSignature(ex(col), numHashes, shingleSize))
+
+  /** Scalar: LSH band key of a MinHash signature. */
+  def minhash_band_key(sig: Column, band: Int, rowsPerBand: Int): Column =
+    toCol(MinHashBandKey(ex(sig), band, rowsPerBand))
+
+  /** Scalar: 64-bit SimHash fingerprint of a text column. */
+  def simhash64(col: Column): Column = toCol(SimHash64(ex(col)))
+
+  /** Scalar: distinct sorted word-k-gram hash set of a text column. */
+  def shingle_set(col: Column, shingleSize: Int = 5): Column =
+    toCol(ShingleSet(ex(col), shingleSize))
+
+  // ---------------------------------------------------------------------
   // SQL registration
   // ---------------------------------------------------------------------
 

@@ -1,0 +1,155 @@
+package graft.ops
+
+import graft.functions._
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines, at three exactness
+  * levels. All plans are shuffle-minimal: per-row fingerprints (no explode of
+  * shingles across the cluster), band-key shuffles carry only (key, id)
+  * pairs, and pair verification joins only candidate buckets.
+  */
+object Dedup {
+
+  /** Exact dedup on content hash: one shuffle on a 8-byte key instead of the
+    * full text. Keeps the smallest `idCol` per identical `textCol`.
+    */
+  def exactByHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(wyhash64(col(textCol))).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Exact dedup on selected columns (hash-groupBy semantics). */
+  def exactByColumns(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** MinHash-LSH candidate pairs: documents sharing >= 1 of `bands` band keys,
+    * with the signature-estimated Jaccard similarity attached. Returned pairs
+    * are (idA < idB) distinct.
+    *
+    * Scale shape: signatures are computed per-row; only
+    * (bandKey, id, signature) rows shuffle; the self-join is per-bucket.
+    */
+  def minHashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      shingleSize: Int = 5): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(
+      col(idCol).as("_id"),
+      minhash_signature(col(textCol), numHashes, shingleSize).as("_sig"))
+    val banded = sigs.select(
+      col("_id"), col("_sig"),
+      explode(array((0 until bands).map(b =>
+        minhash_band_key(col("_sig"), b, rowsPerBand)): _*)).as("_band"))
+    val a = banded.select(col("_band"), col("_id").as("id_a"))
+    val b = banded.select(col("_band"), col("_id").as("id_b"))
+    a.join(b, Seq("_band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Signature-estimated Jaccard: fraction of equal slots. */
+  def estJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(
+      zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0),
+      (acc, v) => acc + v).cast("double") / size(sigA)
+
+  /** MinHash-LSH near-duplicate pairs with estimated similarity >= threshold. */
+  def minHashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      shingleSize: Int = 5): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(
+      col(idCol).as("_id"),
+      minhash_signature(col(textCol), numHashes, shingleSize).as("_sig"))
+    val banded = sigs.select(
+      col("_id"), col("_sig"),
+      explode(array((0 until bands).map(b =>
+        minhash_band_key(col("_sig"), b, rowsPerBand)): _*)).as("_band"))
+    val a = banded.select(col("_band"), col("_id").as("id_a"), col("_sig").as("_sig_a"))
+    val b = banded.select(col("_band"), col("_id").as("id_b"), col("_sig").as("_sig_b"))
+    a.join(b, Seq("_band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        estJaccard(col("_sig_a"), col("_sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** Near-dup dedup: drop every document that has a more-senior (smaller id)
+    * near-duplicate. One LSH pass (near-transitive clusters collapse to their
+    * minimum over repeated application; one pass is the standard
+    * training-data practice).
+    */
+  def minHashDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      shingleSize: Int = 5): DataFrame = {
+    val losers = minHashNearDupPairs(df, idCol, textCol, threshold, numHashes, bands,
+      shingleSize)
+      .select(col("id_b").as("_loser")).distinct()
+    df.join(losers, df(idCol) === col("_loser"), "left_anti")
+  }
+
+  /** SimHash near-duplicate pairs: same 64-bit simhash up to `maxHamming`
+    * differing bits. Buckets by each of 4 16-bit quarters (any pair within
+    * Hamming <= 3 must agree on at least one quarter), verifies Hamming
+    * distance inside buckets only.
+    */
+  def simHashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-quarter bucketing covers Hamming <= 3 only")
+    val hashed = df.select(col(idCol).as("_id"), simhash64(col(textCol)).as("_sh"))
+    val banded = hashed.select(
+      col("_id"), col("_sh"),
+      explode(array((0 until 4).map(q =>
+        struct(lit(q).as("q"),
+          shiftrightunsigned(col("_sh"), q * 16).bitwiseAND(lit(0xffffL)).as("v"))): _*))
+        .as("_bucket"))
+    val a = banded.select(col("_bucket"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
+    val b = banded.select(col("_bucket"), col("_id").as("id_b"), col("_sh").as("_sh_b"))
+    a.join(b, Seq("_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_sh_a").bitwiseXOR(col("_sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity of two text columns (built-in set
+    * algebra over shingle hash sets).
+    */
+  def ngramJaccard(textA: Column, textB: Column, shingleSize: Int = 5): Column = {
+    val sa = shingle_set(textA, shingleSize)
+    val sb = shingle_set(textB, shingleSize)
+    (size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb)).cast("double"))
+  }
+}

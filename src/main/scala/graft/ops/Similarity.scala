@@ -1,0 +1,117 @@
+package graft.ops
+
+import graft.core.WyHash
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>). Two paths:
+  *   - brute force: broadcast the (small) query set, score every corpus row,
+  *     window top-k — the exact baseline;
+  *   - hyperplane LSH: deterministic random-hyperplane sign buckets; the join
+  *     touches only matching buckets, the standard recall/cost dial at
+  *     corpus scale (multi-probe via several independent tables).
+  * All vector math is built-in column algebra (zip_with + aggregate), fully
+  * codegen-friendly; no UDFs, no RDDs.
+  */
+object Similarity {
+
+  /** Dot product of two array<float>/array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity in [-1, 1]; 0 when either vector is zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom > 0, dot(a, b) / denom).otherwise(lit(0.0))
+  }
+
+  /** Exact brute-force top-k: for each query row, the k nearest corpus rows
+    * by cosine. The query side is broadcast — corpus scans once, no shuffle
+    * of the corpus itself.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(
+        col(queryId).as("query_id"),
+        col(corpusId).as("neighbor_id"),
+        cosine(col(queryVec), col(corpusVec)).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is a
+    * standard-normal-ish value derived from wyhash(p, j) (sum of two uniform
+    * halves, variance-matched — plenty for LSH).
+    */
+  private def hyperplane(plane: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { j =>
+      val h = WyHash.hashLong(plane.toLong << 32 | j.toLong)
+      val u1 = ((h >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+      val u2 = (((h * WyHash.P1) >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+      (u1 + u2) * math.sqrt(6.0)
+    }
+
+  /** Sign-bucket key: `planes`-bit integer of dot-product signs for one LSH
+    * table (offset selects independent plane sets).
+    */
+  def hyperplaneBucket(vec: Column, dim: Int, planes: Int, tableOffset: Int = 0): Column = {
+    val bits = (0 until planes).map { p =>
+      val plane = typedLit(hyperplane(tableOffset * planes + p, dim))
+      when(dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k via hyperplane LSH: `tables` independent sign-bucket tables
+    * (multi-probe by union), exact cosine re-ranking within candidate
+    * buckets. Recall rises with `tables`, cost with bucket size
+    * (2^planes buckets).
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      dim: Int,
+      planes: Int = 12,
+      tables: Int = 4): DataFrame = {
+    val corpusBuckets = corpus.select(
+      col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          hyperplaneBucket(col(corpusVec), dim, planes, t).as("b"))): _*)).as("_bucket"))
+    val queryBuckets = queries.select(
+      col(queryId).as("query_id"), col(queryVec).as("_qv"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          hyperplaneBucket(col(queryVec), dim, planes, t).as("b"))): _*)).as("_bucket"))
+    val candidates = corpusBuckets.join(broadcast(queryBuckets), Seq("_bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("_qv"), col("_cv")).as("cosine"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cosine")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.SharedSpark
+import graft.functions._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private val baseText = "the quick brown fox jumps over the lazy dog and runs through " +
+    "the green forest while birds sing in the morning light near the old river bridge"
+
+  private def mutate(text: String, nWords: Int, seed: Int): String = {
+    val words = text.split(" ")
+    val rnd = new scala.util.Random(seed)
+    val idx = rnd.shuffle(words.indices.toList).take(nWords)
+    words.zipWithIndex.map { case (w, i) =>
+      if (idx.contains(i)) "xx" + rnd.nextInt(100) else w
+    }.mkString(" ")
+  }
+
+  test("exactByHash keeps one row per identical text, preferring smallest id") {
+    val df = Seq(
+      (3L, "hello world"), (1L, "hello world"), (2L, "different text"),
+      (7L, "hello world"), (5L, "different text"), (9L, "unique one")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactByHash(df, "doc_id", "text")
+      .orderBy($"doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "hello world"), (2L, "different text"), (9L, "unique one")))
+  }
+
+  test("minhash: identical texts have identical signatures; est jaccard sane") {
+    val df = Seq((1L, baseText), (2L, baseText), (3L, mutate(baseText, 14, 42)))
+      .toDF("id", "text")
+    val sigs = df.select($"id", minhash_signature($"text").as("sig"))
+    val pairs = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter($"a.id" < $"b.id")
+      .select($"a.id", $"b.id", Dedup.estJaccard($"a.sig", $"b.sig").as("j"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0) // identical
+    assert(pairs((1L, 3L)) < 0.6, s"heavily mutated doc too similar: ${pairs((1L, 3L))}")
+  }
+
+  test("minHashNearDupPairs finds near-dups, skips dissimilar; dedup drops losers") {
+    val nearDup = mutate(baseText, 1, 7) // one word changed
+    val docs = Seq(
+      (10L, baseText),
+      (11L, nearDup),
+      (12L, "completely different content about spark aggregation plans and " +
+        "catalyst optimizer rules that shares nothing with the fox story at all " +
+        "because it talks about distributed query execution instead"),
+      (13L, baseText) // exact dup of 10
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 13L)), s"exact dup missed: $pairs")
+    assert(pairs.contains((10L, 11L)) && pairs.contains((11L, 13L)),
+      s"near dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L), s"false pair with 12: $pairs")
+    val kept = Dedup.minHashDedup(docs, "doc_id", "text", threshold = 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 12L), s"kept $kept")
+  }
+
+  test("simhash: near-identical docs within small hamming; pairs found via buckets") {
+    val docs = Seq(
+      (1L, baseText),
+      (2L, mutate(baseText, 1, 3)),
+      (3L, "total different subject matter entirely unrelated words describing " +
+        "machine learning feature engineering pipelines with embeddings and tokens " +
+        "plus quality filtering heuristics for web corpora at massive scale")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simHashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.contains((1L, 2L)), s"simhash near-dup missed: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L), s"false pair: $pairs")
+  }
+
+  test("ngramJaccard: exact set similarity (1.0 identical, 0.0 disjoint)") {
+    val df = Seq((baseText, baseText, "alpha beta gamma delta epsilon zeta"))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Dedup.ngramJaccard($"a", $"b").as("same"),
+      Dedup.ngramJaccard($"a", $"c").as("diff")).collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 0.0)
+  }
+
+  test("LSH plan shuffles band keys, not shingles (no explode of shingle sets)") {
+    val docs = (0 until 100).map(i => (i.toLong, s"$baseText tail$i")).toDF("doc_id", "text")
+    val plan = Dedup.minHashNearDupPairs(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    // the only explode is the per-row band array (16 rows/doc), never shingles
+    assert(plan.contains("minhash_band_key") || plan.contains("explode"),
+      s"expected banding in plan:\n$plan")
+    assert(!plan.toLowerCase.contains("shingle_set"), s"shingles must not shuffle:\n$plan")
+  }
+}

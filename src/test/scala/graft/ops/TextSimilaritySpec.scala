@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.SharedSpark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextOpsSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  test("langId picks the right profile for clear-cut text") {
+    val df = Seq(
+      ("the cat and the dog went to the house and it was good", "en"),
+      ("der hund und die katze sind nicht mit dem mann auf der straße", "de"),
+      ("le chat et le chien sont dans la maison pour les vacances", "fr"),
+      ("el perro y el gato en la casa con una mesa para el niño", "es"),
+      ("zzz qqq www", "und")
+    ).toDF("text", "expected")
+    val got = df.select(TextOps.langId($"text").as("lang"), $"expected").collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"got ${r.getString(0)} expected ${r.getString(1)}"))
+  }
+
+  test("quality score orders garbage below prose; features sane") {
+    val df = Seq(
+      ("good", "The quick brown fox jumps over the lazy dog while the sun rises " +
+        "over the quiet village and people start their morning routines with coffee."),
+      ("digits", "4 8 15 16 23 42 108 3.14159 2.71828 1337 99999 00000 12345 67890"),
+      ("short", "ok"),
+      ("punct", "!!! ??? *** $$$ %%% @@@ ### &&& ((( ))) [[[ ]]] {{{ }}}")
+    ).toDF("kind", "text")
+    val scores = df.select($"kind", TextOps.qualityScore($"text").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scores("good") > 0.8, s"good prose scored ${scores("good")}")
+    assert(scores("good") > scores("digits") && scores("good") > scores("short") &&
+      scores("good") > scores("punct"), s"ordering wrong: $scores")
+    assert(scores("punct") < 0.4, s"punct garbage scored ${scores("punct")}")
+  }
+
+  test("token counts: whitespace exact; bpe-ish >= whitespace on punctuated text") {
+    val df = Seq("hello world, this is a test! with punct-uation.").toDF("text")
+    val r = df.select(
+      TextOps.tokenCountWhitespace($"text").as("ws"),
+      TextOps.tokenCountBpeish($"text").as("bpe")).collect()(0)
+    assert(r.getInt(0) == 8)
+    assert(r.getInt(1) >= r.getInt(0), s"bpe ${r.getInt(1)} < ws ${r.getInt(0)}")
+  }
+
+  test("docFingerprint stable under formatting, different for different content") {
+    val df = Seq(
+      ("a", "Hello   World  \n foo"),
+      ("b", "hello world foo"),
+      ("c", "hello world bar")
+    ).toDF("id", "text")
+    val fp = df.select($"id", TextOps.docFingerprint($"text").as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fp("a") == fp("b"))
+    assert(fp("a") != fp("c"))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private def unitVec(dim: Int, seed: Int): Seq[Float] = {
+    val rnd = new scala.util.Random(seed)
+    val v = Seq.fill(dim)(rnd.nextGaussian().toFloat)
+    val n = math.sqrt(v.map(x => x * x).sum).toFloat
+    v.map(_ / n)
+  }
+
+  private def jitter(v: Seq[Float], eps: Float, seed: Int): Seq[Float] = {
+    val rnd = new scala.util.Random(seed)
+    v.map(x => x + rnd.nextGaussian().toFloat * eps)
+  }
+
+  test("cosine column algebra: identical -> 1, orthogonal -> 0") {
+    val df = Seq((Seq(1f, 0f, 0f), Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine($"a", $"b").as("same"),
+      Similarity.cosine($"a", $"c").as("orth")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-6)
+    assert(math.abs(r.getDouble(1)) < 1e-6)
+  }
+
+  test("bruteForceTopK returns the true nearest neighbors") {
+    val dim = 16
+    val base = (0 until 50).map(i => (i.toLong, unitVec(dim, i)))
+    // corpus row 1000+i is a jittered copy of query i's vector
+    val corpus = (base.map { case (i, v) => (i, v) } ++
+      (0 until 5).map(i => (1000L + i, jitter(unitVec(dim, i), 0.05f, 77 + i))))
+      .toDF("id", "vec")
+    val queries = (0 until 5).map(i => (i.toLong, unitVec(dim, i))).toDF("qid", "qvec")
+    val top1 = Similarity.bruteForceTopK(corpus, "id", "vec", queries, "qid", "qvec", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the nearest neighbor of query i is corpus row i itself (cosine 1)
+    (0 until 5).foreach(i => assert(top1(i.toLong) == i.toLong, s"q$i -> ${top1(i.toLong)}"))
+    val top2 = Similarity.bruteForceTopK(corpus, "id", "vec", queries, "qid", "qvec", 2)
+      .filter($"rank" === 2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 5).foreach(i => assert(top2(i.toLong) == 1000L + i,
+      s"q$i 2nd -> ${top2(i.toLong)}"))
+  }
+
+  test("lshTopK recalls the true top-1 with multiple tables") {
+    val dim = 16
+    val corpus = (0 until 200).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
+    val queries = (0 until 10).map(i => (i.toLong, jitter(unitVec(dim, i), 0.02f, 500 + i)))
+      .toDF("qid", "qvec")
+    val got = Similarity.lshTopK(corpus, "id", "vec", queries, "qid", "qvec",
+      k = 1, dim = dim, planes = 8, tables = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0 until 10).count(i => got.get(i.toLong).contains(i.toLong))
+    assert(hits >= 8, s"LSH recall too low: $hits/10 ($got)")
+  }
+}
