@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.functions._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming entry points: the sketch aggregates are regular
+  * Catalyst aggregates, so they drop into streaming groupBy with state kept
+  * in the state store as the serialized sketch bytes (the same wire format
+  * that crosses shuffles in batch). Merge associativity makes incremental
+  * state updates sound in update/complete modes.
+  */
+object SketchStreams {
+
+  /** Approximate distinct values per event-time window (and optional extra
+    * keys), with a watermark bounding state.
+    */
+  def distinctPerWindow(
+      stream: DataFrame,
+      eventTimeCol: String,
+      valueCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      extraKeys: Seq[String] = Seq.empty,
+      p: Int = 12,
+      w: Int = 6): DataFrame = {
+    val keys = window(col(eventTimeCol), windowDuration) +: extraKeys.map(col)
+    stream
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(keys: _*)
+      .agg(ce_approx_distinct(col(valueCol), p, w).as("approx_distinct"))
+  }
+
+  /** Running sketch per key (update/complete mode): emits the serialized
+    * sketch so downstream consumers can union across jobs.
+    */
+  def sketchPerKey(
+      stream: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      p: Int = 12,
+      w: Int = 6): DataFrame =
+    stream.groupBy(keyCols.map(col): _*)
+      .agg(
+        ce_sketch(col(valueCol), p, w).as("sketch"),
+        ce_approx_distinct(col(valueCol), p, w).as("approx_distinct"))
+}

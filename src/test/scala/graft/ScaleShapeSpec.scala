@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions._
+import graft.sources.PagesTable
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions that must hold for the 100TB design point: grouping
+  * sets come free with the UDAF, partition pruning reaches the scan, column
+  * pruning never materializes `html`, and AQE stays enabled.
+  */
+class ScaleShapeSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  test("cube / rollup / grouping sets work with the sketch aggregate") {
+    val df = (0 until 4000).map(i => ("l" + (i % 2), "s" + (i % 4), i.toLong % 100))
+      .toDF("lang", "src", "v")
+    val cube = df.cube($"lang", $"src").agg(ce_approx_distinct($"v").as("d")).collect()
+    // keys are correlated (i%2 vs i%4): only 4 observed (lang,src) cells,
+    // plus 2 lang subtotals + 4 src subtotals + 1 grand total
+    assert(cube.length == 4 + 2 + 4 + 1, s"cube rows: ${cube.length}")
+    val grand = cube.filter(r => r.isNullAt(0) && r.isNullAt(1)).head.getLong(2)
+    assert(grand == 100L)
+    val rollup = df.rollup($"lang", $"src").agg(ce_approx_distinct($"v").as("d")).collect()
+    assert(rollup.length == 4 + 2 + 1)
+  }
+
+  test("day-partitioned pages table: partition pruning reaches the scan") {
+    val dir = Files.createTempDirectory("graft_pages_part_").toString
+    PagesTable.writeTo(PagesTable.generate(spark, 5000, 5000, days = 10), dir)
+    val q = PagesTable.readFrom(spark, dir)
+      .filter($"warc_day" === "2023-11-15")
+      .groupBy($"lang").agg(ce_approx_distinct($"url").as("d"))
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("warc_day"),
+      s"no partition pruning:\n$scan")
+    assert(q.collect().map(_.getLong(1)).sum > 0)
+  }
+
+  test("column pruning: html (binary) never read for a url/lang query") {
+    val dir = Files.createTempDirectory("graft_pages_prune_").toString
+    PagesTable.writeTo(PagesTable.generate(spark, 2000, 2000), dir)
+    val q = PagesTable.readFrom(spark, dir)
+      .groupBy($"lang").agg(ce_approx_distinct($"url").as("d"))
+    val formatted = q.queryExecution.executedPlan.toString
+    // ReadSchema must contain only url and lang
+    val readSchema = "ReadSchema:.*".r.findFirstIn(
+      q.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    assert(readSchema.exists(s => s.contains("url") && s.contains("lang") && !s.contains("html")),
+      s"html not pruned: $readSchema\n$formatted")
+  }
+
+  test("two sessions-worth of partial sketches survive a real shuffle boundary") {
+    // serialize -> exchange -> merge with 32 partitions over skewed keys
+    val df = (0 until 60000).map { i =>
+      val k = if (i % 100 < 90) "hot" else "k" + (i % 100)
+      (k, i.toLong % 7000)
+    }.toDF("k", "v").repartition(32)
+    val got = df.groupBy($"k").agg(ce_approx_distinct($"v").as("d"))
+      .filter($"k" === "hot").collect()(0).getLong(1)
+    val exact = df.filter($"k" === "hot").select(countDistinct($"v")).collect()(0).getLong(0)
+    val err = math.abs(got.toDouble - exact) / exact
+    assert(err <= 1.04 / math.sqrt(4096.0) * 1.2, s"hot-key sketch $got vs exact $exact err $err")
+  }
+}
