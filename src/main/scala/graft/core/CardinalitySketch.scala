@@ -58,6 +58,18 @@ final class CardinalitySketch(val p: Int, val w: Int) extends Serializable {
     */
   def insertHash(hash: Long): Unit = insertEncoded(encodeHash(hash, p, w))
 
+  /** Convenience inserts mirroring the reference's `insert(&item)` contract
+    * (README.md:22-30): hash the item canonically, then insert. Longs feed
+    * their 8 LE bytes (bit-exact with the reference's integer hashing);
+    * strings feed UTF-8 bytes.
+    */
+  def insert(item: Long): Unit = insertHash(WyHash.hashLong(item))
+  def insert(item: String): Unit = {
+    val b = item.getBytes("UTF-8")
+    insertHash(WyHash.hash(b, 0, b.length, 0L))
+  }
+  def insert(item: Array[Byte]): Unit = insertHash(WyHash.hash(item, 0, item.length, 0L))
+
   /** Insert a 31-bit encoded hash (dispatch per current representation,
     * src/estimator.rs:110-112).
     */

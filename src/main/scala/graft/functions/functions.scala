@@ -45,6 +45,9 @@ object functions {
   def ce_merge_estimate(col: Column): Column =
     toCol(CardinalityUnionAgg(ex(col), emitEstimate = true).toAggregateExpression())
 
+  /** Alias of ce_merge (SURVEY.md §2.3 names this ce_merge_agg). */
+  def ce_merge_agg(col: Column): Column = ce_merge(col)
+
   /** Scalar: estimate of a serialized sketch. */
   def ce_estimate(col: Column): Column = toCol(CeEstimate(ex(col)))
 
