@@ -149,7 +149,7 @@ object functions {
       s"$what must be a numeric literal, got $other")
   }
 
-  private val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[graft] val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "ce_approx_distinct" -> {
       case Seq(c) => CardinalitySketchAgg(c).toAggregateExpression()
       case Seq(c, p) =>
@@ -226,35 +226,19 @@ object functions {
 }
 
 /** SparkSessionExtensions hook:
-  * `--conf spark.sql.extensions=graft.GraftExtensions` makes the sketch
-  * functions available in every session without code changes.
+  * `--conf spark.sql.extensions=graft.GraftExtensions` makes every sketch
+  * function available in all sessions, and (optionally, behind
+  * `spark.graft.rewriteApproxCountDistinct=true`) rewrites Spark's built-in
+  * `approx_count_distinct` to this library's sketch aggregate.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    import graft.sql._
-    ext.injectFunction((
-      FunctionIdentifier("ce_approx_distinct"),
-      new ExpressionInfo(classOf[CardinalitySketchAgg].getName, "ce_approx_distinct"),
-      (args: Seq[Expression]) => args match {
-        case Seq(c) => CardinalitySketchAgg(c).toAggregateExpression()
-        case Seq(c, Literal(p: Int, _)) => CardinalitySketchAgg(c, p).toAggregateExpression()
-        case Seq(c, Literal(p: Int, _), Literal(w: Int, _)) =>
-          CardinalitySketchAgg(c, p, w).toAggregateExpression()
-        case other => throw new IllegalArgumentException(s"bad args: $other")
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("ce_sketch"),
-      new ExpressionInfo(classOf[CardinalitySketchAgg].getName, "ce_sketch"),
-      (args: Seq[Expression]) =>
-        CardinalitySketchAgg(args.head, emitEstimate = false).toAggregateExpression()))
-    ext.injectFunction((
-      FunctionIdentifier("ce_merge_estimate"),
-      new ExpressionInfo(classOf[CardinalityUnionAgg].getName, "ce_merge_estimate"),
-      (args: Seq[Expression]) =>
-        CardinalityUnionAgg(args.head, emitEstimate = true).toAggregateExpression()))
-    ext.injectFunction((
-      FunctionIdentifier("ce_estimate"),
-      new ExpressionInfo(classOf[CeEstimate].getName, "ce_estimate"),
-      (args: Seq[Expression]) => CeEstimate(args.head)))
+    functions.sqlBuilders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        (args: Seq[Expression]) => builder(args)))
+    }
+    ext.injectResolutionRule(graft.plans.RewriteApproxCountDistinct.apply)
   }
 }

@@ -73,16 +73,25 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 128,
       bands: Int = 16,
-      shingleSize: Int = 5): DataFrame = {
+      shingleSize: Int = 5,
+      maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
     val sigs = df.select(
       col(idCol).as("_id"),
       minhash_signature(col(textCol), numHashes, shingleSize).as("_sig"))
-    val banded = sigs.select(
+    val bandedRaw = sigs.select(
       col("_id"), col("_sig"),
       explode(array((0 until bands).map(b =>
         minhash_band_key(col("_sig"), b, rowsPerBand)): _*)).as("_band"))
+    // Degenerate-bucket guard: a band key shared by a huge number of docs
+    // (empty/boilerplate text) would make the self-join quadratic. Such
+    // buckets are all near-identical to each other anyway — exact dedup
+    // catches the truly identical ones — so cap the bucket size.
+    val banded = bandedRaw.withColumn("_bn",
+        count(lit(1)).over(Window.partitionBy(col("_band"))))
+      .filter(col("_bn") <= maxBucketSize)
+      .drop("_bn")
     val a = banded.select(col("_band"), col("_id").as("id_a"), col("_sig").as("_sig_a"))
     val b = banded.select(col("_band"), col("_id").as("id_b"), col("_sig").as("_sig_b"))
     a.join(b, Seq("_band"))
