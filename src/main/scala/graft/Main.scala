@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.{CheckpointedAgg, NorthQueries}
+import graft.sources.PagesTable
+
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry point for the north-star jobs:
+  *
+  * {{{
+  * spark-submit --class graft.Main <jar> distinct-urls <pagesPath> <outPath> [p]
+  * spark-submit --class graft.Main <jar> distinct-urls-per-lang <pagesPath> <outPath> [p] [salts]
+  * spark-submit --class graft.Main <jar> shingles-per-day <pagesPath> <outPath> [p]
+  * spark-submit --class graft.Main <jar> checkpointed-urls-per-lang <pagesPath> <ckptDir> <outPath> [p]
+  * spark-submit --class graft.Main <jar> generate-pages <outPath> <rows> <distinctUrls>
+  * }}}
+  *
+  * No master/parallelism is hard-coded: cluster size, executor counts, AQE
+  * and shuffle-partition settings come from spark-submit config, so the same
+  * binary runs local[N] here and a 1000-executor cluster in production.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: <command> <args...> (see scaladoc)")
+    val spark = SparkSession.builder()
+      .appName(s"graft-${args(0)}")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    functions.registerAll(spark)
+
+    args(0) match {
+      case "distinct-urls" =>
+        val Array(_, in, out) = args.take(3)
+        val p = if (args.length > 3) args(3).toInt else 12
+        NorthQueries.distinctUrls(PagesTable.readFrom(spark, in), p)
+          .write.mode("overwrite").parquet(out)
+
+      case "distinct-urls-per-lang" =>
+        val Array(_, in, out) = args.take(3)
+        val p = if (args.length > 3) args(3).toInt else 12
+        val salts = if (args.length > 4) args(4).toInt else 64
+        NorthQueries.distinctUrlsPerLang(PagesTable.readFrom(spark, in), p, salts)
+          .write.mode("overwrite").parquet(out)
+
+      case "shingles-per-day" =>
+        val Array(_, in, out) = args.take(3)
+        val p = if (args.length > 3) args(3).toInt else 12
+        NorthQueries.distinctShinglesPerDay(PagesTable.readFrom(spark, in), p)
+          .write.mode("overwrite").parquet(out)
+
+      case "checkpointed-urls-per-lang" =>
+        val Array(_, in, ckpt, out) = args.take(4)
+        val p = if (args.length > 4) args(4).toInt else 12
+        CheckpointedAgg.run(spark, in, Seq("lang"), "url", ckpt, p)
+          .write.mode("overwrite").parquet(out)
+
+      case "generate-pages" =>
+        val Array(_, out, rows, urls) = args.take(4)
+        PagesTable.writeTo(
+          PagesTable.generate(spark, rows.toLong, urls.toLong,
+            partitions = spark.sparkContext.defaultParallelism * 4), out)
+
+      case other =>
+        throw new IllegalArgumentException(s"unknown command: $other")
+    }
+    spark.stop()
+  }
+}
