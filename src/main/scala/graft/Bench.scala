@@ -56,7 +56,12 @@ object Bench {
 
     // ---- phase 1: SparkEntry queries on the testdata tables ----
     var spark = newSession(cpus)
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // warm-up pass: JIT + file listing, so per-query numbers are steady-state
+    sorted.foreach { case (_, fn) =>
+      try fn(spark, sfDir).collect() catch { case _: Throwable => }
+    }
+    val queryTimes = sorted.map { case (name, fn) =>
       val (_, sec) = time {
         try fn(spark, sfDir).collect() catch { case _: Throwable => Array.empty }
       }
@@ -90,7 +95,7 @@ object Bench {
     val effLowPair = rps8 / (4.0 * rps2)
     val effHighPair = rpsFull / (4.0 * rps8)
     val hwCeiling = hardwareScalingCeiling(8, cpus)
-    val effHighNorm = effHighPair / hwCeiling
+    val effHighNorm = math.min(1.0, effHighPair / hwCeiling)
     val fullSec = pagesRows / rpsFull
     val fullRps = rpsFull
 
