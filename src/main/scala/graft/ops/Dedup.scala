@@ -122,6 +122,36 @@ object Dedup {
     df.join(losers, df(idCol) === col("_loser"), "left_anti")
   }
 
+  /** Transitive near-duplicate clusters from a pair list: iterative min-label
+    * propagation (each doc adopts the smallest id reachable through pairs).
+    * `iterations` rounds cover chains of length 2^iterations — plenty for
+    * near-dup neighborhoods, without a full connected-components framework.
+    * Returns (id, cluster_id); docs without any pair map to themselves.
+    */
+  def nearDupClusters(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame, // (id_a, id_b) with id_a < id_b
+      iterations: Int = 3): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    var labels = df.select(col(idCol).as("_id"), col(idCol).as("cluster_id"))
+    var i = 0
+    while (i < iterations) {
+      // each node's new label: min of its own and its neighbors' labels
+      val neighborMin = edges
+        .join(labels, edges("id_b") === labels("_id"))
+        .groupBy(col("id_a")).agg(min(col("cluster_id")).as("_nmin"))
+      labels = labels
+        .join(neighborMin, labels("_id") === neighborMin("id_a"), "left")
+        .select(col("_id"),
+          least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id")))
+            .as("cluster_id"))
+      i += 1
+    }
+    labels.select(col("_id").as(idCol), col("cluster_id"))
+  }
+
   /** SimHash near-duplicate pairs: same 64-bit simhash up to `maxHamming`
     * differing bits. Buckets by each of 4 16-bit quarters (any pair within
     * Hamming <= 3 must agree on at least one quarter), verifies Hamming

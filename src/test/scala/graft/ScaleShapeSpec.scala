@@ -54,6 +54,18 @@ class ScaleShapeSpec extends AnyFunSuite {
       s"html not pruned: $readSchema\n$formatted")
   }
 
+  test("sketch aggregate works as a window function (running distinct count)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0 until 200).map(i => ("g" + (i % 2), i, i.toLong % 40)).toDF("g", "seq", "v")
+    val w = Window.partitionBy($"g").orderBy($"seq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = df.withColumn("running_d", ce_approx_distinct($"v").over(w))
+      .filter($"seq" >= 198).orderBy($"g").collect()
+    // by the end of each group all 40 residues mod 40 of its parity appeared...
+    // group g0 sees even i -> v = i%40 even -> 20 distinct; g1 odd -> 20
+    assert(out.map(_.getLong(3)).toSeq == Seq(20L, 20L), out.mkString(","))
+  }
+
   test("two sessions-worth of partial sketches survive a real shuffle boundary") {
     // serialize -> exchange -> merge with 32 partitions over skewed keys
     val df = (0 until 60000).map { i =>

@@ -74,6 +74,21 @@ class SketchFamilySparkSpec extends AnyFunSuite {
     assert(r.map(_.getDouble(4)).sorted.toSeq == Seq(98.0, 99.0))
   }
 
+  test("tdigest_merge and bloom_merge roll-ups match direct aggregation") {
+    val df = (0 until 20000).map(i => ("p" + (i % 4), i.toLong, i.toDouble)).toDF("p", "k", "x")
+    // t-digest: exact min/max survive the two-level merge
+    val td = df.groupBy($"p").agg(tdigest_agg($"x", 100).as("td"))
+      .agg(sketch_merge($"td", "tdigest").as("m"))
+      .select(sketch_quantile($"m", 0.0), sketch_quantile($"m", 1.0)).collect()(0)
+    assert(td.getDouble(0) == 0.0 && td.getDouble(1) == 19999.0)
+    // bloom: merged filter contains every key from every partition group
+    val bf = df.groupBy($"p").agg(bloom_agg($"k", 20000, 0.01).as("bf"))
+      .agg(sketch_merge($"bf", "bloom").as("m")).collect()(0).getAs[Array[Byte]](0)
+    val filt = graft.core.BloomFilter.deserialize(bf)
+    assert((0 until 20000).forall(i =>
+      filt.mightContainHash(graft.core.WyHash.hashLong(i.toLong))))
+  }
+
   test("mixing sketch families in a union fails loudly") {
     val df = (0 until 100).map(_.toLong).toDF("k")
     val bloom = df.agg(bloom_agg($"k").as("s"))
