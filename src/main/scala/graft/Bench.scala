@@ -93,7 +93,7 @@ object Bench {
     val rps8 = jobRps(8)
     val rpsFull = jobRps(cpus)
     val effLowPair = rps8 / (4.0 * rps2)
-    val effHighPair = rpsFull / (4.0 * rps8)
+    val effHighPair = rpsFull / ((cpus / 8.0) * rps8)
     val hwCeiling = hardwareScalingCeiling(8, cpus)
     val effHighNorm = math.min(1.0, effHighPair / hwCeiling)
     val fullSec = pagesRows / rpsFull

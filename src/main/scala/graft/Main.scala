@@ -21,8 +21,20 @@ import org.apache.spark.sql.SparkSession
   */
 object Main {
 
+  private def need(args: Array[String], n: Int, usage: String): Unit =
+    require(args.length >= n, s"usage: ${args.headOption.getOrElse("<command>")} $usage")
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: <command> <args...> (see scaladoc)")
+    args(0) match {
+      case "distinct-urls" | "distinct-urls-per-lang" | "shingles-per-day" =>
+        need(args, 3, "<pagesPath> <outPath> [p] ...")
+      case "checkpointed-urls-per-lang" =>
+        need(args, 4, "<pagesPath> <ckptDir> <outPath> [p]")
+      case "generate-pages" =>
+        need(args, 4, "<outPath> <rows> <distinctUrls>")
+      case _ => ()
+    }
     val spark = SparkSession.builder()
       .appName(s"graft-${args(0)}")
       .getOrCreate()

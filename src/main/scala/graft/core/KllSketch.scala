@@ -45,19 +45,27 @@ final class KllSketch private (
   }
 
   private def compact(): Unit = {
+    // full ascending pass: merge() can overfill ANY level, not just level 0,
+    // and compacting level h can in turn fill h+1
     var lvl = 0
-    while (lvl < levels.length && levels(lvl).length >= capacity(lvl)) {
-      if (lvl + 1 == levels.length) levels += new ArrayBuffer[Double]
-      val buf = levels(lvl)
-      val sorted = buf.toArray
-      java.util.Arrays.sort(sorted)
-      // deterministic coin: parity of wyhash over the compaction counter
-      val offset = (WyHash.hashLong(compactions) & 1L).toInt
-      compactions += 1
-      val up = levels(lvl + 1)
-      var i = offset
-      while (i < sorted.length) { up += sorted(i); i += 2 }
-      buf.clear()
+    while (lvl < levels.length) {
+      if (levels(lvl).length >= capacity(lvl)) {
+        if (lvl + 1 == levels.length) levels += new ArrayBuffer[Double]
+        val buf = levels(lvl)
+        val sorted = buf.toArray
+        java.util.Arrays.sort(sorted)
+        // compact an EVEN count so total weight is conserved (n*w stays
+        // m/2 * 2w + leftover * w); an odd leftover item stays at this level
+        val m = sorted.length & ~1
+        // deterministic coin: parity of wyhash over the compaction counter
+        val offset = (WyHash.hashLong(compactions) & 1L).toInt
+        compactions += 1
+        val up = levels(lvl + 1)
+        var i = offset
+        while (i < m) { up += sorted(i); i += 2 }
+        buf.clear()
+        if (m < sorted.length) buf += sorted(m)
+      }
       lvl += 1
     }
   }

@@ -222,49 +222,67 @@ case class KllAgg(
   override def prettyName: String = "kll_agg"
 }
 
+/** Mutable holder for a decoded sketch of any family. */
+private[graft] final class AnySketchBuffer(var sk: AnyRef)
+
+/** Per-family decode/merge/encode used by SketchUnionAgg. Keeping the DECODED
+  * object in the aggregation buffer means each input row pays one deserialize
+  * + in-place merge, not a deserialize-merge-reserialize round trip.
+  */
+private[graft] final case class SketchOps(
+    deserialize: Array[Byte] => AnyRef,
+    mergeInPlace: (AnyRef, AnyRef) => Unit,
+    serialize: AnyRef => Array[Byte]) extends Serializable
+
 /** Generic re-aggregation (union) over a column of serialized sketches of one
-  * family — the ce_merge pattern for the whole sketch library. The buffer is
-  * the serialized form itself; union functions validate headers, so mixing
-  * families fails loudly.
+  * family — the ce_merge pattern for the whole sketch library. Deserialize
+  * validates headers, so mixing families fails loudly.
   */
 case class SketchUnionAgg(
     child: Expression,
     kind: String,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[AnySketchBuffer] with UnaryLike[Expression] {
 
-  @transient private lazy val unionFn: (Array[Byte], Array[Byte]) => Array[Byte] =
-    SketchUnionAgg.unions(kind)
+  @transient private lazy val ops: SketchOps = SketchUnionAgg.ops(kind)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (!SketchUnionAgg.unions.contains(kind))
+    if (!SketchUnionAgg.ops.contains(kind))
       TypeCheckResult.TypeCheckFailure(
-        s"unknown sketch kind '$kind' (expected one of ${SketchUnionAgg.unions.keys.mkString(", ")})")
+        s"unknown sketch kind '$kind' (expected one of ${SketchUnionAgg.ops.keys.mkString(", ")})")
     else if (child.dataType != BinaryType)
       TypeCheckResult.TypeCheckFailure(
         s"${kind}_merge expects a binary sketch column, got ${child.dataType.catalogString}")
     else TypeCheckResult.TypeCheckSuccess
 
-  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+  override def createAggregationBuffer(): AnySketchBuffer = new AnySketchBuffer(null)
 
-  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+  override def update(buffer: AnySketchBuffer, input: InternalRow): AnySketchBuffer = {
     val v = child.eval(input)
-    if (v == null) buffer
-    else {
-      val bytes = v.asInstanceOf[Array[Byte]]
-      if (buffer.isEmpty) bytes.clone() else unionFn(buffer, bytes)
+    if (v != null) {
+      val sk = ops.deserialize(v.asInstanceOf[Array[Byte]])
+      if (buffer.sk == null) buffer.sk = sk else ops.mergeInPlace(buffer.sk, sk)
     }
+    buffer
   }
 
-  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] =
-    if (buffer.isEmpty) other
-    else if (other.isEmpty) buffer
-    else unionFn(buffer, other)
+  override def merge(buffer: AnySketchBuffer, other: AnySketchBuffer): AnySketchBuffer = {
+    if (buffer.sk == null) buffer.sk = other.sk
+    else if (other.sk != null) ops.mergeInPlace(buffer.sk, other.sk)
+    buffer
+  }
 
-  override def eval(buffer: Array[Byte]): Any = if (buffer.isEmpty) null else buffer
-  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def eval(buffer: AnySketchBuffer): Any =
+    if (buffer.sk == null) null else ops.serialize(buffer.sk)
+
+  override def serialize(buffer: AnySketchBuffer): Array[Byte] =
+    if (buffer.sk == null) Array.emptyByteArray else ops.serialize(buffer.sk)
+
+  override def deserialize(bytes: Array[Byte]): AnySketchBuffer =
+    if (bytes.isEmpty) new AnySketchBuffer(null)
+    else new AnySketchBuffer(ops.deserialize(bytes))
+
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def withNewMutableAggBufferOffset(n: Int): SketchUnionAgg =
@@ -277,9 +295,21 @@ case class SketchUnionAgg(
 }
 
 object SketchUnionAgg {
-  val unions: Map[String, (Array[Byte], Array[Byte]) => Array[Byte]] = Map(
-    "bloom" -> BloomFilter.union,
-    "cms" -> CountMinSketch.union,
-    "tdigest" -> TDigest.union,
-    "kll" -> KllSketch.union)
+  val ops: Map[String, SketchOps] = Map(
+    "bloom" -> SketchOps(
+      BloomFilter.deserialize,
+      (a, b) => a.asInstanceOf[BloomFilter].merge(b.asInstanceOf[BloomFilter]),
+      _.asInstanceOf[BloomFilter].serialize()),
+    "cms" -> SketchOps(
+      CountMinSketch.deserialize,
+      (a, b) => a.asInstanceOf[CountMinSketch].merge(b.asInstanceOf[CountMinSketch]),
+      _.asInstanceOf[CountMinSketch].serialize()),
+    "tdigest" -> SketchOps(
+      TDigest.deserialize,
+      (a, b) => a.asInstanceOf[TDigest].merge(b.asInstanceOf[TDigest]),
+      _.asInstanceOf[TDigest].serialize()),
+    "kll" -> SketchOps(
+      KllSketch.deserialize,
+      (a, b) => a.asInstanceOf[KllSketch].merge(b.asInstanceOf[KllSketch]),
+      _.asInstanceOf[KllSketch].serialize()))
 }

@@ -206,7 +206,12 @@ object functions {
       case args => throw new IllegalArgumentException(
         s"kll_agg expects (col[, k]), got ${args.size} args")
     },
-    "sketch_quantile" -> { args => SketchQuantile(args(0), args(1)) },
+    "sketch_quantile" -> { args =>
+      // SQL parses 0.5 as DECIMAL(1,1); coerce any numeric literal to double
+      SketchQuantile(args(0),
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          args(1), org.apache.spark.sql.types.DoubleType))
+    },
     "bloom_merge" -> { args => SketchUnionAgg(args.head, "bloom").toAggregateExpression() },
     "cms_merge" -> { args => SketchUnionAgg(args.head, "cms").toAggregateExpression() },
     "tdigest_merge" -> { args => SketchUnionAgg(args.head, "tdigest").toAggregateExpression() },

@@ -2,41 +2,56 @@ package graft.ops
 
 import graft.functions._
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Resumable two-stage distinct-count job with per-partition lineage and
   * row-count metrics (north-rule requirement).
   *
-  * Stage 1 aggregates per (input file, group keys) and appends
-  * `(split_id, keys..., sketch, rows)` rows to a checkpoint directory —
-  * `split_id` is the input file path, i.e. the lineage of that sketch. A
-  * rerun lists the splits already committed and processes only the remaining
-  * input files, so a killed job loses at most the in-flight (uncommitted)
-  * stage — Spark's output commit protocol keeps the checkpoint dir free of
-  * torn writes.
+  * Stage 1 aggregates per (input file, group keys) and writes
+  * `(split_id, keys..., sketch, rows)` rows into a NEW batch subdirectory of
+  * the checkpoint dir — `split_id` is the input file path, i.e. the lineage
+  * of that sketch. A batch only counts once Spark's commit protocol has
+  * written its `_SUCCESS` marker, so a job killed mid-commit (when only some
+  * task files have been renamed into place) leaves an ignored torn batch: the
+  * rerun re-processes those splits from scratch rather than trusting partial
+  * rows. Re-processing is harmless downstream because finalize first unions
+  * per (split, keys) — sketch union is idempotent and the row metric takes
+  * max — before rolling up per keys.
   *
-  * Stage 2 (finalize) folds the checkpoint: first per (split, keys) with
-  * sketch-union + max(rows) — making a double-committed split harmless for
-  * both the estimate (union is idempotent) and the metric — then per keys
-  * with union + sum(rows). Correctness rides on merge associativity/
-  * commutativity exactly like Spark's own partial aggregation
-  * (reference merge matrix, src/estimator.rs:287-333).
+  * Correctness rides on merge associativity/commutativity exactly like
+  * Spark's own partial aggregation (reference merge matrix,
+  * src/estimator.rs:287-333).
   */
 object CheckpointedAgg {
 
-  /** Splits already committed to the checkpoint. */
-  def completedSplits(spark: SparkSession, ckptDir: String): Set[String] = {
-    if (!exists(spark, ckptDir)) Set.empty
-    else spark.read.parquet(ckptDir).select("split_id").distinct()
-      .collect().map(_.getString(0)).toSet
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Batch subdirectories whose `_SUCCESS` marker exists (fully committed). */
+  private def committedBatches(spark: SparkSession, ckptDir: String): Seq[String] = {
+    val root = new Path(ckptDir)
+    val system = fs(spark, ckptDir)
+    if (!system.exists(root)) Seq.empty
+    else system.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
+      .filter(s => system.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.toString)
   }
 
-  private def exists(spark: SparkSession, dir: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(path) && fs.listStatus(path).exists(_.getPath.getName.endsWith(".parquet"))
+  private def readCommitted(spark: SparkSession, ckptDir: String): Option[DataFrame] = {
+    val batches = committedBatches(spark, ckptDir)
+    if (batches.isEmpty) None else Some(spark.read.parquet(batches: _*))
   }
+
+  /** Splits already committed to the checkpoint. */
+  def completedSplits(spark: SparkSession, ckptDir: String): Set[String] =
+    readCommitted(spark, ckptDir) match {
+      case None => Set.empty
+      case Some(df) =>
+        df.select("split_id").distinct().collect().map(_.getString(0)).toSet
+    }
 
   /** Run (or resume) stage 1: checkpoint per-file sketches of `valueCol`
     * grouped by `keys`. Returns the number of input files processed in this
@@ -56,19 +71,22 @@ object CheckpointedAgg {
     val candidates = onlyFiles.getOrElse(all.inputFiles.toSeq)
     val todo = candidates.filterNot(done.contains)
     if (todo.nonEmpty) {
+      val batchDir = new Path(ckptDir,
+        f"batch_${System.currentTimeMillis()}%013d_${todo.size}%d").toString
       val df = spark.read.schema(all.schema).parquet(todo: _*)
       df.groupBy(input_file_name().as("split_id") +: keys.map(col): _*)
         .agg(
           ce_sketch(col(valueCol), p, w).as("sketch"),
           count(lit(1)).as("rows"))
-        .write.mode("append").parquet(ckptDir)
+        .write.mode("errorifexists").parquet(batchDir)
     }
     todo.size
   }
 
   /** Fold the checkpoint into final per-key estimates + scan metrics. */
   def finalizeStage(spark: SparkSession, ckptDir: String, keys: Seq[String]): DataFrame = {
-    val ckpt = spark.read.parquet(ckptDir)
+    val ckpt = readCommitted(spark, ckptDir).getOrElse(
+      throw new IllegalStateException(s"no committed checkpoint batches under $ckptDir"))
     ckpt
       .groupBy((Seq("split_id") ++ keys).map(col): _*)
       .agg(ce_merge(col("sketch")).as("sketch"), max(col("rows")).as("rows"))

@@ -34,22 +34,42 @@ object Dedup {
     * Scale shape: signatures are computed per-row; only
     * (bandKey, id, signature) rows shuffle; the self-join is per-bucket.
     */
+  /** Documents with no shingles at all (empty/whitespace/punct-only text)
+    * share the sentinel all-Long.MaxValue signature and would pair everything
+    * with everything; they belong to exact dedup, not LSH.
+    */
+  private def nonEmptySigs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleSize: Int): DataFrame =
+    df.select(
+        col(idCol).as("_id"),
+        minhash_signature(col(textCol), numHashes, shingleSize).as("_sig"))
+      .filter(element_at(col("_sig"), 1) =!= Long.MaxValue)
+
+  private def cappedBands(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucketSize: Int): DataFrame = {
+    val banded = sigs.select(
+      col("_id"), col("_sig"),
+      explode(array((0 until bands).map(b =>
+        minhash_band_key(col("_sig"), b, rowsPerBand)): _*)).as("_band"))
+    // Degenerate-bucket guard: a band key shared by a huge number of docs
+    // (boilerplate) would make the self-join quadratic.
+    banded.withColumn("_bn", count(lit(1)).over(Window.partitionBy(col("_band"))))
+      .filter(col("_bn") <= maxBucketSize)
+      .drop("_bn")
+  }
+
   def minHashCandidatePairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       numHashes: Int = 128,
       bands: Int = 16,
-      shingleSize: Int = 5): DataFrame = {
+      shingleSize: Int = 5,
+      maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
-    val rowsPerBand = numHashes / bands
-    val sigs = df.select(
-      col(idCol).as("_id"),
-      minhash_signature(col(textCol), numHashes, shingleSize).as("_sig"))
-    val banded = sigs.select(
-      col("_id"), col("_sig"),
-      explode(array((0 until bands).map(b =>
-        minhash_band_key(col("_sig"), b, rowsPerBand)): _*)).as("_band"))
+    val banded = cappedBands(
+      nonEmptySigs(df, idCol, textCol, numHashes, shingleSize),
+      bands, numHashes / bands, maxBucketSize)
     val a = banded.select(col("_band"), col("_id").as("id_a"))
     val b = banded.select(col("_band"), col("_id").as("id_b"))
     a.join(b, Seq("_band"))
@@ -76,22 +96,9 @@ object Dedup {
       shingleSize: Int = 5,
       maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
-    val rowsPerBand = numHashes / bands
-    val sigs = df.select(
-      col(idCol).as("_id"),
-      minhash_signature(col(textCol), numHashes, shingleSize).as("_sig"))
-    val bandedRaw = sigs.select(
-      col("_id"), col("_sig"),
-      explode(array((0 until bands).map(b =>
-        minhash_band_key(col("_sig"), b, rowsPerBand)): _*)).as("_band"))
-    // Degenerate-bucket guard: a band key shared by a huge number of docs
-    // (empty/boilerplate text) would make the self-join quadratic. Such
-    // buckets are all near-identical to each other anyway — exact dedup
-    // catches the truly identical ones — so cap the bucket size.
-    val banded = bandedRaw.withColumn("_bn",
-        count(lit(1)).over(Window.partitionBy(col("_band"))))
-      .filter(col("_bn") <= maxBucketSize)
-      .drop("_bn")
+    val banded = cappedBands(
+      nonEmptySigs(df, idCol, textCol, numHashes, shingleSize),
+      bands, numHashes / bands, maxBucketSize)
     val a = banded.select(col("_band"), col("_id").as("id_a"), col("_sig").as("_sig_a"))
     val b = banded.select(col("_band"), col("_id").as("id_b"), col("_sig").as("_sig_b"))
     a.join(b, Seq("_band"))
@@ -122,30 +129,38 @@ object Dedup {
     df.join(losers, df(idCol) === col("_loser"), "left_anti")
   }
 
-  /** Transitive near-duplicate clusters from a pair list: iterative min-label
-    * propagation (each doc adopts the smallest id reachable through pairs).
-    * `iterations` rounds cover chains of length 2^iterations — plenty for
-    * near-dup neighborhoods, without a full connected-components framework.
-    * Returns (id, cluster_id); docs without any pair map to themselves.
+  /** Transitive near-duplicate clusters from a pair list: each round does one
+    * hop of min-label propagation over the edges PLUS a pointer-jumping step
+    * (label := label(label)), so `iterations` rounds cover chains of length
+    * ~2^iterations. Returns (id, cluster_id); docs without any pair map to
+    * themselves.
     */
   def nearDupClusters(
       df: DataFrame,
       idCol: String,
       pairs: DataFrame, // (id_a, id_b) with id_a < id_b
-      iterations: Int = 3): DataFrame = {
+      iterations: Int = 4): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     var labels = df.select(col(idCol).as("_id"), col(idCol).as("cluster_id"))
     var i = 0
     while (i < iterations) {
-      // each node's new label: min of its own and its neighbors' labels
+      // hop: min of own and neighbors' labels
       val neighborMin = edges
         .join(labels, edges("id_b") === labels("_id"))
         .groupBy(col("id_a")).agg(min(col("cluster_id")).as("_nmin"))
-      labels = labels
+      val hopped = labels
         .join(neighborMin, labels("_id") === neighborMin("id_a"), "left")
         .select(col("_id"),
           least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id")))
+            .as("cluster_id"))
+      // pointer jump: adopt the label of the current label (path halving)
+      val parents = hopped.select(
+        col("_id").as("_pid"), col("cluster_id").as("_plabel"))
+      labels = hopped
+        .join(parents, hopped("cluster_id") === parents("_pid"), "left")
+        .select(col("_id"),
+          least(col("cluster_id"), coalesce(col("_plabel"), col("cluster_id")))
             .as("cluster_id"))
       i += 1
     }

@@ -184,4 +184,25 @@ class KllSketchSpec extends AnyFunSuite {
     assert(rt.quantile(0.5) == s.quantile(0.5))
     intercept[IllegalArgumentException](KllSketch.deserialize(Array[Byte](1)))
   }
+
+  test("repeated merges stay size-bounded (upper-level cascade) and conserve weight") {
+    val rnd = new Random(31)
+    val merged = KllSketch(200)
+    var total = 0L
+    for (_ <- 0 until 200) {
+      val part = KllSketch(200)
+      val n = 300 + rnd.nextInt(700)
+      (0 until n).foreach(_ => part.add(rnd.nextGaussian()))
+      total += n
+      merged.merge(KllSketch.deserialize(part.serialize()))
+    }
+    assert(merged.count == total)
+    // size must stay O(k log n), never linear in the number of merged partials
+    assert(merged.retainedItems < 4000,
+      s"retained ${merged.retainedItems} after 200 merges — unbounded growth")
+    // weight conservation: odd-length compaction keeps the leftover item, so
+    // the weighted total equals the true count and median stays centered
+    val med = merged.quantile(0.5)
+    assert(math.abs(med) < 0.1, s"median drifted to $med")
+  }
 }

@@ -66,16 +66,37 @@ class CheckpointedAggSpec extends AnyFunSuite {
     val ckpt = tmp() + "/ckpt"
     val files = spark.read.parquet(input).inputFiles.toSeq
     CheckpointedAgg.checkpointStage(spark, input, Seq("lang"), "v", ckpt)
-    // forcibly re-commit one split (simulates a commit race)
-    spark.read.parquet(input).limit(0) // no-op touch
+    // forcibly re-commit one split as its own committed batch (commit race)
     val dup = spark.read.parquet(files.head)
       .groupBy(lit(files.head).as("split_id"), $"lang")
       .agg(graft.functions.ce_sketch($"v").as("sketch"), count(lit(1)).as("rows"))
-    dup.write.mode("append").parquet(ckpt)
+    dup.write.parquet(ckpt + "/batch_9999999999999_dup")
     val result = CheckpointedAgg.finalizeStage(spark, ckpt, Seq("lang"))
       .orderBy($"lang").collect()
     val direct = spark.read.parquet(input).groupBy($"lang")
       .agg(ce_approx_distinct($"v").as("d"), count(lit(1)).as("n"))
+      .orderBy($"lang").collect()
+    assert(result.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      direct.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
+  test("torn batch without _SUCCESS is ignored and its splits get reprocessed") {
+    val input = writeInput()
+    val ckpt = tmp() + "/ckpt"
+    val files = spark.read.parquet(input).inputFiles.toSeq
+    CheckpointedAgg.checkpointStage(spark, input, Seq("lang"), "v", ckpt,
+      onlyFiles = Some(files.take(4)))
+    // simulate a kill mid-commitJob: drop the _SUCCESS marker of that batch
+    val batchDir = new java.io.File(ckpt).listFiles()
+      .filter(_.getName.startsWith("batch_")).head
+    assert(new java.io.File(batchDir, "_SUCCESS").delete())
+    assert(CheckpointedAgg.completedSplits(spark, ckpt).isEmpty)
+    // rerun processes ALL files again (the torn batch is never trusted)
+    assert(CheckpointedAgg.checkpointStage(spark, input, Seq("lang"), "v", ckpt) == 8)
+    val result = CheckpointedAgg.finalizeStage(spark, ckpt, Seq("lang"))
+      .orderBy($"lang").collect()
+    val direct = spark.read.parquet(input).groupBy($"lang")
+      .agg(graft.functions.ce_approx_distinct($"v").as("d"), count(lit(1)).as("n"))
       .orderBy($"lang").collect()
     assert(result.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
       direct.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)

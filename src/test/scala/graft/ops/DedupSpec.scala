@@ -79,14 +79,14 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L), s"false pair: $pairs")
   }
 
-  test("nearDupClusters: transitive chains collapse to the minimum id") {
-    val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
-    // chain 1-2-3-4 (transitive), isolated pair (5 with nothing), singleton 9
-    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
-    val clusters = Dedup.nearDupClusters(docs, "doc_id", pairs, iterations = 3)
+  test("nearDupClusters: long transitive chains collapse to the minimum id") {
+    // 11-node chain 1-2-...-11 needs ~log rounds thanks to pointer jumping
+    val docs = ((1L to 11L) :+ 99L).toDF("doc_id")
+    val pairs = (1L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", pairs, iterations = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 9L -> 9L),
-      clusters.toString)
+    (1L to 11L).foreach(i => assert(clusters(i) == 1L, s"node $i -> ${clusters(i)}"))
+    assert(clusters(99L) == 99L)
   }
 
   test("ngramJaccard: exact set similarity (1.0 identical, 0.0 disjoint)") {
