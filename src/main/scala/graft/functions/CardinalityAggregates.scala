@@ -44,6 +44,31 @@ private[graft] object SketchHashing {
         val b = v.toString.getBytes("UTF-8")
         WyHash.hash(b, 0, b.length, 0L)
       }
+    case st: StructType =>
+      // multi-column distinct: combine per-field hashes order-sensitively
+      // (mum chain), null fields fold in a fixed tag — supports
+      // ce_approx_distinct(struct(a, b, ...)) as the COUNT(DISTINCT a, b)
+      // analog
+      val fieldHashers = st.fields.map(f => hasherFor(f.dataType))
+      val getters = st.fields.zipWithIndex.map { case (f, i) =>
+        val dt = f.dataType
+        (row: org.apache.spark.sql.catalyst.InternalRow) =>
+          if (row.isNullAt(i)) null else row.get(i, dt)
+      }
+      if (fieldHashers.contains(null)) null
+      else
+        v => {
+          val row = v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+          var h = WyHash.P2
+          var i = 0
+          while (i < fieldHashers.length) {
+            val fv = getters(i)(row)
+            val fh = if (fv == null) 0x9e3779b97f4a7c15L else fieldHashers(i)(fv)
+            h = WyHash.mum(h ^ fh, WyHash.P1)
+            i += 1
+          }
+          h
+        }
     case _ => null
   }
 

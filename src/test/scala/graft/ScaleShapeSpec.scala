@@ -54,6 +54,30 @@ class ScaleShapeSpec extends AnyFunSuite {
       s"html not pruned: $readSchema\n$formatted")
   }
 
+  test("sort-based fallback path (>128 groups) is bit-identical to hash path") {
+    // ObjectHashAggregateExec falls back to sort-based aggregation past
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold (default 128)
+    // distinct keys per task — a 10k-group aggregation exercises that path.
+    val df = (0 until 200000).map(i => (i % 10000, i.toLong % 37)).toDF("k", "v")
+    val got = df.groupBy($"k").agg(ce_approx_distinct($"v").as("d"))
+      .agg(sum($"d"), count(lit(1))).collect()(0)
+    // each of the 10000 groups sees gcd-driven subsets of 0..36; exact range
+    val exact = df.groupBy($"k").agg(countDistinct($"v").as("d"))
+      .agg(sum($"d"), count(lit(1))).collect()(0)
+    assert(got.getLong(0) == exact.getLong(0) && got.getLong(1) == exact.getLong(1))
+  }
+
+  test("multi-column distinct via struct matches COUNT(DISTINCT a, b)") {
+    // 10 x 12 -> 60 distinct (a, b) pairs per group: inside the exact range
+    val df = (0 until 30000).map(i => (i % 10, "s" + (i % 12), i % 7)).toDF("a", "b", "g")
+    val got = df.groupBy($"g")
+      .agg(ce_approx_distinct(struct($"a", $"b")).as("d"))
+      .orderBy($"g").collect().map(_.getLong(1)).toSeq
+    val exact = df.groupBy($"g").agg(countDistinct($"a", $"b").as("d"))
+      .orderBy($"g").collect().map(_.getLong(1)).toSeq
+    assert(got == exact, s"$got vs $exact")
+  }
+
   test("sketch aggregate works as a window function (running distinct count)") {
     import org.apache.spark.sql.expressions.Window
     val df = (0 until 200).map(i => ("g" + (i % 2), i, i.toLong % 40)).toDF("g", "seq", "v")
