@@ -86,12 +86,17 @@ object Bench {
       spark.stop()
       spark = newSession(cores)
       pagesJob(spark, pagesPath) // warm-up in fresh session
-      val secs = (1 to 3).map { _ => time(pagesJob(spark, pagesPath))._2 }
+      val secs = (1 to 2).map { _ => time(pagesJob(spark, pagesPath))._2 }
       pagesRows / secs.min
     }
-    val rps2 = jobRps(2)
-    val rps8 = jobRps(8)
-    val rpsFull = jobRps(cpus)
+    // two interleaved visits per level decorrelate from transient load on
+    // this shared host (noisy-neighbor minutes are common); keep the best
+    val levels = Seq(2, 8, cpus, 2, 8, cpus)
+    val best = scala.collection.mutable.Map[Int, Double]().withDefaultValue(0.0)
+    levels.foreach { c => best(c) = math.max(best(c), jobRps(c)) }
+    val rps2 = best(2)
+    val rps8 = best(8)
+    val rpsFull = best(cpus)
     val effLowPair = rps8 / (4.0 * rps2)
     val effHighPair = rpsFull / ((cpus / 8.0) * rps8)
     val hwCeiling = hardwareScalingCeiling(8, cpus)
