@@ -118,6 +118,12 @@ object functions {
   // SQL registration
   // ---------------------------------------------------------------------
 
+  /** HLL error model: p = ceil(log2((1.04/sd)^2)), clamped to [4..18]. */
+  private[graft] def precisionForRelativeSD(sd: Double): Int = {
+    val p = math.ceil(2.0 * math.log(1.04 / sd) / math.log(2.0)).toInt
+    math.max(4, math.min(18, p))
+  }
+
   private def foldArg(e: Expression, what: String): Any = {
     if (!e.foldable) throw new IllegalArgumentException(
       s"$what must be a constant, got $e")
@@ -153,11 +159,21 @@ object functions {
     "ce_approx_distinct" -> {
       case Seq(c) => CardinalitySketchAgg(c).toAggregateExpression()
       case Seq(c, p) =>
-        CardinalitySketchAgg(c, intArg(p, "p")).toAggregateExpression()
+        // drop-in parity with approx_count_distinct(col, relativeSD): a
+        // fractional second argument is interpreted as the target relative
+        // standard deviation and mapped to a precision
+        foldArg(p, "p") match {
+          case sd: Double if sd > 0 && sd < 1 =>
+            CardinalitySketchAgg(c, precisionForRelativeSD(sd)).toAggregateExpression()
+          case d: org.apache.spark.sql.types.Decimal if d.toDouble > 0 && d.toDouble < 1 =>
+            CardinalitySketchAgg(c, precisionForRelativeSD(d.toDouble))
+              .toAggregateExpression()
+          case _ => CardinalitySketchAgg(c, intArg(p, "p")).toAggregateExpression()
+        }
       case Seq(c, p, w) =>
         CardinalitySketchAgg(c, intArg(p, "p"), intArg(w, "w")).toAggregateExpression()
       case args => throw new IllegalArgumentException(
-        s"ce_approx_distinct expects (col[, p[, w]]), got ${args.size} args")
+        s"ce_approx_distinct expects (col[, p_or_relativeSD[, w]]), got ${args.size} args")
     },
     "ce_sketch" -> {
       case Seq(c) => CardinalitySketchAgg(c, emitEstimate = false).toAggregateExpression()
