@@ -78,6 +78,7 @@ object CheckpointedAgg {
         .agg(
           ce_sketch(col(valueCol), p, w).as("sketch"),
           count(lit(1)).as("rows"))
+        .withColumn("sketch_bytes", length(col("sketch")))
         .write.mode("errorifexists").parquet(batchDir)
     }
     todo.size
@@ -94,7 +95,8 @@ object CheckpointedAgg {
       .agg(
         ce_merge_estimate(col("sketch")).as("distinct_count"),
         sum(col("rows")).as("rows_scanned"),
-        countDistinct(col("split_id")).as("splits_merged"))
+        countDistinct(col("split_id")).as("splits_merged"),
+        sum(length(col("sketch"))).as("sketch_bytes_merged"))
   }
 
   /** One-call convenience: checkpoint whatever is missing, then finalize. */

@@ -41,6 +41,30 @@ class SketchStreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("sketch state survives a streaming query restart (state-store round trip)") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt_").toString
+    val input = MemoryStream[(String, Long)]
+    def startQuery() =
+      SketchStreams.sketchPerKey(input.toDF().toDF("lang", "v"), Seq("lang"), "v")
+        .writeStream.format("memory").outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .queryName("stream_restart").start()
+    val q1 = startQuery()
+    try {
+      input.addData((0 until 40).map(i => ("en", i.toLong)): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the checkpoint: state (serialized sketches) must reload
+    val q2 = startQuery()
+    try {
+      input.addData((20 until 70).map(i => ("en", i.toLong)): _*)
+      q2.processAllAvailable()
+      val est = spark.table("stream_restart").collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(est("en") == 70L, s"0..39 union 20..69 = 70 distinct, got ${est("en")}")
+    } finally q2.stop()
+  }
+
   test("windowed streaming distinct with watermark") {
     val input = MemoryStream[(Timestamp, Long)]
     val agg = SketchStreams.distinctPerWindow(
