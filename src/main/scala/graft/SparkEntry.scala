@@ -159,6 +159,34 @@ object SparkEntry {
         read(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
         .agg(count(lit(1)).as("kept"))),
 
+    // SimHash near-dup pairs (rows-only check)
+    "q_dedup_simhash_pairs" -> ((s, dir) =>
+      graft.ops.Dedup.simHashNearDupPairs(
+        read(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .agg(count(lit(1)).as("pairs"))),
+
+    // exact word-5-gram Jaccard between the first docs — DuckDB twin builds
+    // the same shingle sets from raw strings (hashed vs raw sets have equal
+    // sizes modulo 2^-64 collisions)
+    "q_ngram_jaccard_pairs" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .filter(col("doc_id") < 8)
+        .filter(size(filter(split(lower(col("text")), "[^\\p{L}\\p{N}]+"),
+          w => length(w) > 0)) >= 5)
+        .select(col("doc_id"), col("text"))
+      docs.as("a").crossJoin(docs.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          graft.ops.Dedup.ngramJaccard(col("a.text"), col("b.text"), 5).as("jaccard"))
+    }),
+
+    // embedding-cosine near-dup pairs via hyperplane LSH (approximate recall;
+    // rows-only check)
+    "q_dedup_embedding_pairs" -> ((s, dir) =>
+      graft.ops.Dedup.embeddingNearDupPairs(
+        read(s, dir, "embeddings"), "vec_id", "embedding", dim = 64, threshold = 0.9)
+        .agg(count(lit(1)).as("pairs"))),
+
     // text statistics with exact SQL twins
     "q_text_stats" -> ((s, dir) =>
       read(s, dir, "documents").select(
@@ -236,6 +264,14 @@ object SparkEntry {
       "SELECT event_type, MIN(value) AS min_value, MAX(value) AS max_value FROM events GROUP BY event_type",
     "q_dedup_exact_count" ->
       "SELECT COUNT(DISTINCT text) AS kept FROM documents",
+    "q_ngram_jaccard_pairs" ->
+      ("WITH docs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS words " +
+        "FROM documents WHERE doc_id < 8), " +
+        "sh AS (SELECT doc_id, list_distinct([array_to_string(words[i:i+4], ' ') for i in range(1, len(words) - 3)]) AS s " +
+        "FROM docs WHERE len(words) >= 5) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) AS jaccard " +
+        "FROM sh a, sh b WHERE a.doc_id < b.doc_id"),
     "q_text_stats" ->
       "SELECT doc_id, LENGTH(text) AS n_chars, len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS tok_ws FROM documents",
     "q_ann_topk_bruteforce" ->

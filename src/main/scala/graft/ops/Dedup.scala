@@ -206,4 +206,32 @@ object Dedup {
     (size(array_intersect(sa, sb)).cast("double") /
       size(array_union(sa, sb)).cast("double"))
   }
+
+  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets prune the
+    * candidate space, exact cosine verifies inside buckets. Pairs with
+    * cosine >= threshold, (idA < idB) distinct.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      planes: Int = 10,
+      tables: Int = 6): DataFrame = {
+    val banded = df.select(
+      col(idCol).as("_id"), col(vecCol).as("_v"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          Similarity.hyperplaneBucket(col(vecCol), dim, planes, t).as("b"))): _*))
+        .as("_bucket"))
+    val a = banded.select(col("_bucket"), col("_id").as("id_a"), col("_v").as("_va"))
+    val b = banded.select(col("_bucket"), col("_id").as("id_b"), col("_v").as("_vb"))
+    a.join(b, Seq("_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Similarity.cosine(col("_va"), col("_vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("cosine")).as("cosine"))
+  }
 }

@@ -104,6 +104,21 @@ class SimilaritySpec extends AnyFunSuite {
       s"q$i 2nd -> ${top2(i.toLong)}"))
   }
 
+  test("embeddingNearDupPairs finds jittered copies, skips unrelated vectors") {
+    val dim = 16
+    val base = (0 until 60).map(i => (i.toLong, unitVec(dim, i)))
+    val dups = (0 until 5).map(i => (100L + i, jitter(unitVec(dim, i), 0.01f, 900 + i)))
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", dim,
+      threshold = 0.98, planes = 8, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = (0 until 5).count(i => pairs.contains((i.toLong, 100L + i)))
+    assert(hits >= 4, s"recall too low: $hits/5 ($pairs)")
+    // unrelated random unit vectors in 16d essentially never reach cosine 0.98
+    assert(pairs.forall { case (a, b) => b - a == 100L },
+      s"false positives: ${pairs.filterNot { case (a, b) => b - a == 100L }}")
+  }
+
   test("lshTopK recalls the true top-1 with multiple tables") {
     val dim = 16
     val corpus = (0 until 200).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
