@@ -91,29 +91,34 @@ object Bench {
     }
     // two interleaved visits per level decorrelate from transient load on
     // this shared host (noisy-neighbor minutes are common); keep the best
-    val levels = Seq(2, 8, cpus, 2, 8, cpus)
+    val haveHighPair = cpus > 8
+    val levelSet = if (haveHighPair) Seq(2, 8, cpus) else Seq(2, 8)
     val best = scala.collection.mutable.Map[Int, Double]().withDefaultValue(0.0)
-    levels.foreach { c => best(c) = math.max(best(c), jobRps(c)) }
+    (levelSet ++ levelSet).foreach { c => best(c) = math.max(best(c), jobRps(c)) }
     val rps2 = best(2)
     val rps8 = best(8)
-    val rpsFull = best(cpus)
+    val rpsFull = if (haveHighPair) best(cpus) else rps8
     val effLowPair = rps8 / (4.0 * rps2)
-    val effHighPair = rpsFull / ((cpus / 8.0) * rps8)
-    val hwCeiling = hardwareScalingCeiling(8, cpus)
-    val effHighNorm = math.min(1.0, effHighPair / hwCeiling)
+    val effHighPair = if (haveHighPair) rpsFull / ((cpus / 8.0) * rps8) else Double.NaN
+    val hwCeiling = if (haveHighPair) hardwareScalingCeiling(8, cpus) else 1.0
+    val effHighNorm =
+      if (haveHighPair) math.min(1.0, effHighPair / hwCeiling) else Double.NaN
     val fullSec = pagesRows / rpsFull
     val fullRps = rpsFull
 
     val total = queryTimes.map(_._2).sum + fullSec
     val qs = queryTimes.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val highPairJson = if (haveHighPair)
+      s""","pair_8_to_$cpus":{"rows_per_sec_n":${rps8.round},"rows_per_sec_4n":${rpsFull.round},"efficiency":${f"$effHighPair%.3f"},""" +
+      s""""hw_frequency_ceiling":${f"$hwCeiling%.3f"},"efficiency_vs_hw_ceiling":${f"$effHighNorm%.3f"}}"""
+    else ""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""pages_rows":$pagesRows,"pages_flagship_sec":$fullSec,""" +
       s""""pages_rows_per_sec":${fullRps.round},""" +
       s""""scaling":{""" +
-      s""""pair_2_to_8":{"rows_per_sec_n":${rps2.round},"rows_per_sec_4n":${rps8.round},"efficiency":${f"$effLowPair%.3f"}},""" +
-      s""""pair_8_to_$cpus":{"rows_per_sec_n":${rps8.round},"rows_per_sec_4n":${rpsFull.round},"efficiency":${f"$effHighPair%.3f"},""" +
-      s""""hw_frequency_ceiling":${f"$hwCeiling%.3f"},"efficiency_vs_hw_ceiling":${f"$effHighNorm%.3f"}}}}""")
+      s""""pair_2_to_8":{"rows_per_sec_n":${rps2.round},"rows_per_sec_4n":${rps8.round},"efficiency":${f"$effLowPair%.3f"}}""" +
+      highPairJson + "}}")
     spark.stop()
   }
 
