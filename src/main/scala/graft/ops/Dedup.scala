@@ -13,14 +13,28 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup on content hash: one shuffle on a 8-byte key instead of the
-    * full text. Keeps the smallest `idCol` per identical `textCol`.
+  /** Exact dedup on content hash. Keeps the smallest `idCol` per identical
+    * `textCol` (null texts form one group, like a hash-partitioned window
+    * would).
+    *
+    * Scale shape: the winner election aggregates a PROJECTED `(hash, id)`
+    * frame — only ~16 bytes/row cross that exchange, never the text — and the
+    * survivors are restored with a left-semi join on `(id, hash)`. When the
+    * winner set fits in memory AQE broadcasts it and the corpus side never
+    * shuffles at all; otherwise Catalyst falls back to a shuffled semi join
+    * whose build side is still only the 16-byte winner pairs. The previous
+    * window-function shape unconditionally shipped every column of every row
+    * through a full-corpus exchange plus a per-partition sort.
     */
   def exactByHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(wyhash64(col(textCol))).orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+    val winners = df
+      .select(wyhash64(col(textCol)).as("__g_h"), col(idCol).as("__g_id"))
+      .groupBy(col("__g_h"))
+      .agg(min(col("__g_id")).as("__g_id"))
+    df.join(
+      winners,
+      df(idCol) === winners("__g_id") && (wyhash64(df(textCol)) <=> winners("__g_h")),
+      "left_semi")
   }
 
   /** Exact dedup on selected columns (hash-groupBy semantics). */
@@ -45,17 +59,24 @@ object Dedup {
         minhash_signature(col(textCol), numHashes, shingleSize).as("_sig"))
       .filter(element_at(col("_sig"), 1) =!= Long.MaxValue)
 
+  /** Per-doc band keys as narrow `(_band, _id)` rows — the signature is
+    * dropped BEFORE anything shuffles, so band exchanges carry ~16 bytes/row.
+    * Degenerate-bucket guard: a band key shared by a huge number of docs
+    * (boilerplate) would make the self-join quadratic, so oversized buckets
+    * are dropped via a groupBy+join (no window sort; the band exchange is
+    * reused by Catalyst for the count, the filter join, and the self-join).
+    */
   private def cappedBands(sigs: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucketSize: Int): DataFrame = {
     val banded = sigs.select(
-      col("_id"), col("_sig"),
+      col("_id"),
       explode(array((0 until bands).map(b =>
         minhash_band_key(col("_sig"), b, rowsPerBand)): _*)).as("_band"))
-    // Degenerate-bucket guard: a band key shared by a huge number of docs
-    // (boilerplate) would make the self-join quadratic.
-    banded.withColumn("_bn", count(lit(1)).over(Window.partitionBy(col("_band"))))
+    val smallBuckets = banded.groupBy(col("_band"))
+      .agg(count(lit(1)).as("_bn"))
       .filter(col("_bn") <= maxBucketSize)
-      .drop("_bn")
+      .select(col("_band"))
+    banded.join(smallBuckets, Seq("_band"))
   }
 
   def minHashCandidatePairs(
@@ -85,7 +106,15 @@ object Dedup {
       lit(0),
       (acc, v) => acc + v).cast("double") / size(sigA)
 
-  /** MinHash-LSH near-duplicate pairs with estimated similarity >= threshold. */
+  /** MinHash-LSH near-duplicate pairs with estimated similarity >= threshold.
+    *
+    * Scale shape: signatures (~1 KB each) are computed ONCE (lazy
+    * localCheckpoint — materialized to the block managers on first use, so
+    * the three consumers below don't recompute the minhash pass), band
+    * exchanges and the bucket self-join carry only `(band, id)` pairs, and
+    * the signatures are re-joined only for the (far smaller) candidate-pair
+    * set to compute the estimated Jaccard.
+    */
   def minHashNearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -96,18 +125,21 @@ object Dedup {
       shingleSize: Int = 5,
       maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
-    val banded = cappedBands(
-      nonEmptySigs(df, idCol, textCol, numHashes, shingleSize),
-      bands, numHashes / bands, maxBucketSize)
-    val a = banded.select(col("_band"), col("_id").as("id_a"), col("_sig").as("_sig_a"))
-    val b = banded.select(col("_band"), col("_id").as("id_b"), col("_sig").as("_sig_b"))
-    a.join(b, Seq("_band"))
+    val sigs = nonEmptySigs(df, idCol, textCol, numHashes, shingleSize)
+      .localCheckpoint(eager = false)
+    val banded = cappedBands(sigs, bands, numHashes / bands, maxBucketSize)
+    val a = banded.select(col("_band"), col("_id").as("id_a"))
+    val b = banded.select(col("_band"), col("_id").as("id_b"))
+    val candidates = a.join(b, Seq("_band"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sigA = sigs.select(col("_id").as("id_a"), col("_sig").as("_sig_a"))
+    val sigB = sigs.select(col("_id").as("id_b"), col("_sig").as("_sig_b"))
+    candidates.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         estJaccard(col("_sig_a"), col("_sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
   /** Near-dup dedup: drop every document that has a more-senior (smaller id)
@@ -140,8 +172,11 @@ object Dedup {
       idCol: String,
       pairs: DataFrame, // (id_a, id_b) with id_a < id_b
       iterations: Int = 4): DataFrame = {
+    // Materialized once (lazily): the pair list is typically itself an LSH
+    // pipeline, and every iteration joins against it.
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint(eager = false)
     var labels = df.select(col(idCol).as("_id"), col(idCol).as("cluster_id"))
     var i = 0
     while (i < iterations) {
@@ -154,14 +189,20 @@ object Dedup {
         .select(col("_id"),
           least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id")))
             .as("cluster_id"))
-      // pointer jump: adopt the label of the current label (path halving)
-      val parents = hopped.select(
+      // pointer jump: adopt the label of the current label (path halving).
+      // `hopped` feeds the join twice, so materialize it first; then truncate
+      // the running frame's lineage every round — without the checkpoints the
+      // logical plan doubles per iteration and Catalyst re-analyzes the whole
+      // chain each time (driver-side blow-up for deep iteration counts).
+      val jumped = hopped.localCheckpoint()
+      val parents = jumped.select(
         col("_id").as("_pid"), col("cluster_id").as("_plabel"))
-      labels = hopped
-        .join(parents, hopped("cluster_id") === parents("_pid"), "left")
+      labels = jumped
+        .join(parents, jumped("cluster_id") === parents("_pid"), "left")
         .select(col("_id"),
           least(col("cluster_id"), coalesce(col("_plabel"), col("cluster_id")))
             .as("cluster_id"))
+        .localCheckpoint()
       i += 1
     }
     labels.select(col("_id").as(idCol), col("cluster_id"))

@@ -32,6 +32,35 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Seq((1L, "hello world"), (2L, "different text"), (9L, "unique one")))
   }
 
+  test("exactByHash keeps exactly one row among null texts") {
+    val df = Seq((4L, null: String), (2L, null: String), (1L, "real text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactByHash(df, "doc_id", "text")
+      .orderBy($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 2L))
+  }
+
+  test("exactByHash: no exchange carries the text column (16-byte winner election)") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = (0 until 200)
+        .map(i => (i.toLong, s"document body number ${i % 50} with plenty of text"))
+        .toDF("doc_id", "text")
+      val out = Dedup.exactByHash(df, "doc_id", "text")
+      val exchanges = out.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e.child.output.map(_.name)
+      }
+      assert(exchanges.nonEmpty, "expected at least the winner-election exchange")
+      exchanges.foreach { names =>
+        assert(!names.exists(_.contains("text")),
+          s"an exchange ships the text column: $names\n" +
+            out.queryExecution.executedPlan.toString)
+      }
+      assert(out.count() == 50)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("minhash: identical texts have identical signatures; est jaccard sane") {
     val df = Seq((1L, baseText), (2L, baseText), (3L, mutate(baseText, 14, 42)))
       .toDF("id", "text")
@@ -87,6 +116,38 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     (1L to 11L).foreach(i => assert(clusters(i) == 1L, s"node $i -> ${clusters(i)}"))
     assert(clusters(99L) == 99L)
+  }
+
+  test("nearDupClusters plan size is O(1) in iterations (lineage truncated)") {
+    val docs = ((1L to 11L) :+ 99L).toDF("doc_id")
+    val pairs = (1L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    def planNodes(n: Int): Int = {
+      val df = Dedup.nearDupClusters(docs, "doc_id", pairs, iterations = n)
+      var cnt = 0
+      df.queryExecution.optimizedPlan.foreach(_ => cnt += 1)
+      cnt
+    }
+    assert(planNodes(8) == planNodes(1),
+      "plan should collapse to a checkpointed scan regardless of iteration count")
+  }
+
+  test("minhash band exchanges carry (band, id) only; signatures rejoin by id") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = (0 until 50).map(i => (i.toLong, s"$baseText tail$i")).toDF("doc_id", "text")
+      val out = Dedup.minHashNearDupPairs(docs, "doc_id", "text")
+      val shuffles = out.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          (s.outputPartitioning.toString, s.child.output.map(_.name))
+      }
+      val bandShuffles = shuffles.filter(_._1.contains("_band"))
+      assert(bandShuffles.nonEmpty, s"expected band-partitioned exchanges: $shuffles")
+      bandShuffles.foreach { case (part, names) =>
+        assert(!names.exists(_.contains("_sig")),
+          s"band exchange $part ships 1KB signatures: $names")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("ngramJaccard: exact set similarity (1.0 identical, 0.0 disjoint)") {
