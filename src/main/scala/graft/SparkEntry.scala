@@ -29,6 +29,14 @@ object SparkEntry {
       .agg(ce_approx_distinct(col("doc_id")).as("approx_docs"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- HLL golden anchor: pins the full hash -> register -> LogLog-Beta
+    // estimate path to the reference's deterministic golden value
+    // (reference src/estimator.rs:228: inserting 0..9999 at p=12,w=6
+    // estimates exactly 10068). Fails loudly if hashing, the beta table, or
+    // the f32 register sum ever regress.
+    "q_ce_golden_anchor" -> ((s, _) =>
+      s.range(10000).agg(ce_approx_distinct(col("id")).as("golden_estimate"))),
+
     // ----- exact-mode sketch queries (oracle: COUNT DISTINCT, bit-exact) -----
     "q_ce_custkey_per_nation" -> ((s, dir) =>
       read(s, dir, "customer")
@@ -180,6 +188,25 @@ object SparkEntry {
           graft.ops.Dedup.ngramJaccard(col("a.text"), col("b.text"), 5).as("jaccard"))
     }),
 
+    // transitive near-dup clustering: exact n-gram-Jaccard pairs over a
+    // bounded probe (so the all-pairs edge list is oracle-expressible), then
+    // min-label propagation with pointer jumping; the DuckDB twin computes
+    // connected components via a recursive CTE
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .filter(col("doc_id") < 1000)
+        .filter(size(filter(split(lower(col("text")), "[^\\p{L}\\p{N}]+"),
+          w => length(w) > 0)) >= 5)
+      val sh = docs.select(col("doc_id"), shingle_set(col("text"), 5).as("s"))
+      val pairs = sh.as("a").crossJoin(sh.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .filter((size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
+          size(array_union(col("a.s"), col("b.s"))).cast("double")) >= 0.7)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      graft.ops.Dedup.nearDupClusters(docs.select(col("doc_id")), "doc_id", pairs,
+        iterations = 4)
+    }),
+
     // embedding-cosine near-dup pairs via hyperplane LSH (approximate recall;
     // rows-only check)
     "q_dedup_embedding_pairs" -> ((s, dir) =>
@@ -194,13 +221,20 @@ object SparkEntry {
         length(col("text")).cast("long").as("n_chars"),
         graft.ops.TextOps.tokenCountWhitespace(col("text")).cast("long").as("tok_ws"))),
 
-    // language-ID + quality + fingerprints (heuristics; rows-only check)
+    // language-ID + quality + BPE-ish tokens: deterministic regexp/length
+    // arithmetic with an exact DuckDB twin (stopword-profile argmax included)
     "q_text_quality" -> ((s, dir) =>
       read(s, dir, "documents").select(
         col("doc_id"),
         graft.ops.TextOps.langId(col("text")).as("lang_pred"),
         graft.ops.TextOps.qualityScore(col("text")).as("quality"),
-        graft.ops.TextOps.tokenCountBpeish(col("text")).cast("long").as("tok_bpeish"),
+        graft.ops.TextOps.tokenCountBpeish(col("text")).cast("long").as("tok_bpeish"))),
+
+    // wyhash-based fingerprints (not SQL-expressible; rows-only check —
+    // the hash itself is pinned by WyHashVectorsSpec)
+    "q_text_fingerprint" -> ((s, dir) =>
+      read(s, dir, "documents").select(
+        col("doc_id"),
         graft.ops.TextOps.docFingerprint(col("text")).as("fingerprint"),
         simhash64(col("text")).as("simhash"))),
 
@@ -224,6 +258,27 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
 
+    // deterministic train/val/test split: the oracle checks the partition is
+    // complete and disjoint (total preserved, every doc in exactly one of the
+    // 3 splits); WHICH split a key lands in is wyhash-determined, sbt-tested
+    "q_sampling_split" -> ((s, dir) =>
+      graft.ops.Sampling.deterministicSplit(
+        read(s, dir, "documents"), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .agg(
+          count(lit(1)).as("total_rows"),
+          countDistinct(col("split")).as("n_splits"),
+          countDistinct(col("doc_id")).as("n_docs"))),
+
+    // resumable checkpointed aggregation: per-file sketch checkpoint then
+    // merge roll-up; exact for these groups (<=128 distinct per group)
+    "q_checkpointed_agg" -> ((s, dir) => {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+      graft.ops.CheckpointedAgg.run(
+        s, s"$dir/documents.parquet", Seq("lang", "source"), "doc_id", ckpt)
+        .select(col("lang"), col("source"), col("distinct_count"), col("rows_scanned"))
+    }),
+
     // multimodal: binary blob features (decode stubs are exercised in sbt test)
     "q_multimodal_features" -> ((s, dir) =>
       graft.ops.Multimodal.binaryFeatures(
@@ -232,10 +287,23 @@ object SparkEntry {
         .select(col("doc_id"), col("blob_bytes").cast("long").as("blob_bytes")))
   )
 
+  /** DuckDB twin of TextOps.langId's stopword-profile argmax: one
+    * (score, lang) struct per language; list_max picks max score with
+    * max-lang tie-break — the same lexicographic order as Spark's
+    * greatest(struct(...)).
+    */
+  private def langIdStructsSql: String =
+    graft.ops.TextOps.stopwordProfiles.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      "struct_pack(score := len(list_intersect(words, [" +
+        ws.map(w => s"'$w'").mkString(",") + s"])), lang := '$lang')"
+    }.mkString(", ")
+
   /** DuckDB oracle SQL — ONLY for queries whose groups stay in the exact
     * (<=128 distinct) range. Column names match the Spark side exactly.
     */
   def oracleSql: Map[String, String] = Map(
+    "q_ce_golden_anchor" ->
+      "SELECT CAST(10068 AS BIGINT) AS golden_estimate",
     "q_ce_custkey_per_nation" ->
       "SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS distinct_custkeys FROM customer GROUP BY c_nationkey",
     "q_ce_suppkey_per_nation" ->
@@ -246,8 +314,10 @@ object SparkEntry {
       "SELECT lang, source, COUNT(DISTINCT doc_id) AS distinct_docs FROM documents GROUP BY 1, 2",
     "q_ce_custs_per_orderday" ->
       "SELECT date_trunc('day', o_orderdate) AS order_day, COUNT(DISTINCT o_custkey) AS distinct_custs FROM orders GROUP BY 1",
+    // ((x % 16) + 16) % 16 == Spark's pmod for any sign — aligns the contract
+    // with the Spark side even though user_id is non-negative in this data
     "q_ce_types_per_user_bucket" ->
-      "SELECT user_id % 16 AS user_bucket, COUNT(DISTINCT event_type) AS distinct_types FROM events GROUP BY 1",
+      "SELECT ((user_id % 16) + 16) % 16 AS user_bucket, COUNT(DISTINCT event_type) AS distinct_types FROM events GROUP BY 1",
     "q_ce_reagg_docs_per_source" ->
       "SELECT source, COUNT(DISTINCT doc_id) AS distinct_docs FROM documents GROUP BY source",
     "q_ce_salted_custkey_per_nation" ->
@@ -264,6 +334,21 @@ object SparkEntry {
       "SELECT event_type, MIN(value) AS min_value, MAX(value) AS max_value FROM events GROUP BY event_type",
     "q_dedup_exact_count" ->
       "SELECT COUNT(DISTINCT text) AS kept FROM documents",
+    "q_dedup_clusters" ->
+      ("WITH RECURSIVE docs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS words " +
+        "FROM documents WHERE doc_id < 1000), " +
+        "sh AS (SELECT doc_id, list_distinct([array_to_string(words[i:i+4], ' ') for i in range(1, len(words) - 3)]) AS s " +
+        "FROM docs WHERE len(words) >= 5), " +
+        "pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM sh a, sh b WHERE a.doc_id < b.doc_id " +
+        "AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.7), " +
+        "edges AS (SELECT ia, ib FROM pairs UNION ALL SELECT ib, ia FROM pairs), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM sh " +
+        "UNION SELECT reach.id, e.ib FROM reach JOIN edges e ON reach.r = e.ia) " +
+        "SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"),
+    "q_sampling_split" ->
+      "SELECT COUNT(*) AS total_rows, CAST(3 AS BIGINT) AS n_splits, COUNT(DISTINCT doc_id) AS n_docs FROM documents",
+    "q_checkpointed_agg" ->
+      "SELECT lang, source, COUNT(DISTINCT doc_id) AS distinct_count, COUNT(*) AS rows_scanned FROM documents GROUP BY 1, 2",
     "q_ngram_jaccard_pairs" ->
       ("WITH docs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS words " +
         "FROM documents WHERE doc_id < 8), " +
@@ -274,6 +359,29 @@ object SparkEntry {
         "FROM sh a, sh b WHERE a.doc_id < b.doc_id"),
     "q_text_stats" ->
       "SELECT doc_id, LENGTH(text) AS n_chars, len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS tok_ws FROM documents",
+    // exact twin of langId + qualityScore + tokenCountBpeish: identical
+    // regexp classes (RE2's \p{L} == Java's), identical double-arithmetic
+    // order pre-round, BPE-ish tokens re-expressed as maximal letter-runs +
+    // maximal non-letter-non-space runs (lookaround splits aren't RE2-able)
+    "q_text_quality" ->
+      ("WITH base AS (SELECT doc_id, text, " +
+        "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS words, " +
+        "length(text) AS n_chars FROM documents), " +
+        "feat AS (SELECT doc_id, text, n_chars, words, len(words) AS n_words, " +
+        s"list_max([$langIdStructsSql]) AS best, " +
+        "length(regexp_replace(text, '[^\\p{L}]', '', 'g'))::DOUBLE / greatest(n_chars::DOUBLE, 1.0) AS alpha_ratio, " +
+        "length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(n_chars::DOUBLE, 1.0) AS digit_ratio, " +
+        "length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE / greatest(n_chars::DOUBLE, 1.0) AS punct_ratio, " +
+        "len(list_distinct(words))::DOUBLE / greatest(len(words)::DOUBLE, 1.0) AS uniq_ratio FROM base) " +
+        "SELECT doc_id, " +
+        "CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred, " +
+        "round(least(n_words::DOUBLE / 20.0, 1.0) * 0.25 + alpha_ratio * 0.25 + " +
+        "(1.0 - least(digit_ratio * 4.0, 1.0)) * 0.15 + " +
+        "(1.0 - least(punct_ratio * 4.0, 1.0)) * 0.15 + " +
+        "uniq_ratio * 0.20, 4) AS quality, " +
+        "(len(regexp_extract_all(text, '\\p{L}+')) + len(regexp_extract_all(text, '[^\\p{L}\\s]+')) " +
+        "+ length(regexp_replace(text, '[^\\p{L}]', '', 'g')) // 8)::BIGINT AS tok_bpeish " +
+        "FROM feat"),
     "q_ann_topk_bruteforce" ->
       "WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5) SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (SELECT q.qid, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id) rank FROM embeddings e, q) t WHERE rank <= 3",
     "q_multimodal_features" ->

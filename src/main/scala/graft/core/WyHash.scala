@@ -16,7 +16,22 @@ package graft.core
   *   - Tails for lengths other than 4..8 and the 32-byte block loop follow the
   *     same published wyhash-v1 shape; they are statistically strong and
   *     deterministic, which is all the reference's own tests observe for
-  *     non-integer keys.
+  *     non-integer keys. External multi-length 0.5.0 vectors are not
+  *     capturable in this zero-egress sandbox; the tails are instead FROZEN
+  *     as this library's wire contract by the self-derived vectors in
+  *     WyHashVectorsSpec (which also proves the generic byte path reproduces
+  *     the golden-verified closed form on every 8-byte input, and that the
+  *     structurally-forced len=0 value mum(P0, P5) holds).
+  *
+  * String/binary wire contract (resolves SURVEY §7.3's open question): keys
+  * hash as their PLAIN UTF-8 bytes via `wyhash(bytes, 0)` — the canonical
+  * one-shot form the reference's fuzz harness uses
+  * (fuzz/fuzz_targets/estimator.rs:12). Rust's `Hash for str` 0xFF suffix
+  * framing is deliberately NOT replicated: it is an artifact of Rust's
+  * prefix-freedom rule for composite keys, not of the algorithm, and the
+  * reference publishes no string-keyed golden values that would transfer
+  * either way. Sketches exchanged cross-language must hash string keys as
+  * plain UTF-8 to interoperate.
   *
   * All reads are little-endian, matching the reference on x86_64.
   */

@@ -12,25 +12,35 @@ import org.apache.spark.sql.expressions.Aggregator
   * register via `functions.udaf(...)`. The Catalyst
   * `CardinalitySketchAgg` expression remains the primary (faster) path; this
   * exists for typed pipelines and `functions.udaf` interop.
+  *
+  * The buffer is the live `CardinalitySketch` OBJECT (Kryo-encoded): because
+  * the encoder is opaque/object-typed, Spark plans this as a
+  * `ComplexTypedAggregateExpression` over `ObjectHashAggregateExec`, so
+  * `reduce` mutates the in-memory sketch per row and Kryo serialization
+  * happens only at partial/final exchange boundaries — the same
+  * serialize-only-at-shuffle shape as the Catalyst path (an earlier version
+  * buffered serialized bytes and paid a full sketch decode+encode per input
+  * row, ~3 KB of copying per row in HLL mode).
   */
 class CardinalityAggregator[IN](hash: IN => Long, p: Int = 12, w: Int = 6)
-  extends Aggregator[IN, Array[Byte], Long] with Serializable {
+  extends Aggregator[IN, CardinalitySketch, Long] with Serializable {
 
-  override def zero: Array[Byte] = new CardinalitySketch(p, w).serialize()
+  override def zero: CardinalitySketch = new CardinalitySketch(p, w)
 
-  override def reduce(buffer: Array[Byte], item: IN): Array[Byte] = {
-    val sk = CardinalitySketch.deserialize(buffer)
-    if (item != null) sk.insertHash(hash(item))
-    sk.serialize()
+  override def reduce(buffer: CardinalitySketch, item: IN): CardinalitySketch = {
+    if (item != null) buffer.insertHash(hash(item))
+    buffer
   }
 
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
-    CardinalitySketch.union(a, b)
+  override def merge(a: CardinalitySketch, b: CardinalitySketch): CardinalitySketch = {
+    a.merge(b)
+    a
+  }
 
-  override def finish(buffer: Array[Byte]): Long =
-    CardinalitySketch.estimateBytes(buffer)
+  override def finish(buffer: CardinalitySketch): Long = buffer.estimate
 
-  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def bufferEncoder: Encoder[CardinalitySketch] =
+    Encoders.kryo[CardinalitySketch]
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
 
