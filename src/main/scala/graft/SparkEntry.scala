@@ -279,6 +279,22 @@ object SparkEntry {
         .select(col("lang"), col("source"), col("distinct_count"), col("rows_scanned"))
     }),
 
+    // multimodal REAL image decode, driven end-to-end: deterministic
+    // solid-gray PNG test cards are rendered per doc_id (real ImageIO
+    // encode), decoded by the real javax.imageio reader in the batched
+    // partition transform, and the resulting metadata is exactly predicted
+    // by the oracle (PNG is lossless)
+    "q_multimodal_decode" -> ((s, dir) => {
+      val ids = read(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 200)
+      graft.ops.Multimodal.decodeImages(
+        graft.ops.Multimodal.renderTestCards(ids, "doc_id"), "blob")
+        .select(col("doc_id"),
+          col("image_meta.width").cast("long").as("width"),
+          col("image_meta.height").cast("long").as("height"),
+          col("image_meta.channels").cast("long").as("channels"),
+          col("image_meta.mean_intensity").as("mean_intensity"))
+    }),
+
     // multimodal: binary blob features (decode stubs are exercised in sbt test)
     "q_multimodal_features" -> ((s, dir) =>
       graft.ops.Multimodal.binaryFeatures(
@@ -385,6 +401,10 @@ object SparkEntry {
     "q_ann_topk_bruteforce" ->
       "WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5) SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (SELECT q.qid, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id) rank FROM embeddings e, q) t WHERE rank <= 3",
     "q_multimodal_features" ->
-      "SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS blob_bytes FROM documents"
+      "SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS blob_bytes FROM documents",
+    "q_multimodal_decode" ->
+      ("SELECT doc_id, 8 + doc_id % 5 AS width, CAST(8 AS BIGINT) AS height, " +
+        "CAST(3 AS BIGINT) AS channels, CAST(doc_id % 256 AS DOUBLE) AS mean_intensity " +
+        "FROM documents WHERE doc_id < 200")
   )
 }

@@ -215,10 +215,8 @@ final class CardinalitySketch(val p: Int, val w: Int) extends Serializable {
           var idx = 0
           while (idx < m) {
             val rr = rhs.getRegister(idx)
-            if (rr > getRegister(idx)) {
-              val o = getRegister(idx)
-              setRegister(idx, o, rr)
-            }
+            val mine = getRegister(idx)
+            if (rr > mine) setRegister(idx, mine, rr)
             idx += 1
           }
         } else {

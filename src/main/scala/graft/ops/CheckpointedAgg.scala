@@ -45,12 +45,23 @@ object CheckpointedAgg {
     if (batches.isEmpty) None else Some(spark.read.parquet(batches: _*))
   }
 
-  /** Splits already committed to the checkpoint. */
+  /** Canonical form for split identity comparisons: `input_file_name()`
+    * strings and `Dataset.inputFiles` strings can disagree on URI
+    * normalization (scheme casing, authority, encoding) on s3a/hdfs even
+    * when they name the same file; routing both sides through
+    * `Path.toUri.toString` keeps resume working there (a mismatch is not a
+    * correctness bug — the idempotent union absorbs reprocessing — but it
+    * silently forfeits the resume benefit).
+    */
+  private[ops] def canonicalSplit(s: String): String = new Path(s).toUri.toString
+
+  /** Splits already committed to the checkpoint (canonicalized). */
   def completedSplits(spark: SparkSession, ckptDir: String): Set[String] =
     readCommitted(spark, ckptDir) match {
       case None => Set.empty
       case Some(df) =>
-        df.select("split_id").distinct().collect().map(_.getString(0)).toSet
+        df.select("split_id").distinct().collect()
+          .map(r => canonicalSplit(r.getString(0))).toSet
     }
 
   /** Run (or resume) stage 1: checkpoint per-file sketches of `valueCol`
@@ -69,7 +80,7 @@ object CheckpointedAgg {
     val all = spark.read.parquet(inputPath)
     val done = completedSplits(spark, ckptDir)
     val candidates = onlyFiles.getOrElse(all.inputFiles.toSeq)
-    val todo = candidates.filterNot(done.contains)
+    val todo = candidates.filterNot(f => done.contains(canonicalSplit(f)))
     if (todo.nonEmpty) {
       val batchDir = new Path(ckptDir,
         f"batch_${System.currentTimeMillis()}%013d_${todo.size}%d").toString

@@ -1,6 +1,9 @@
 package graft.ops
 
-import graft.core.WyHash
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.AudioSystem
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
@@ -11,15 +14,24 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata structs; decode / feature-extract /
   * resize / frame-sample run as batched partition-level transforms (the Scala
   * analog of `mapInPandas`: iterator-to-iterator over fixed-size batches, so
-  * a real decoder would amortize model/codec setup per batch, not per row).
+  * decoder setup amortizes per batch, not per row).
   *
-  * ==== STUB NOTICE ====
-  * This container has no image/audio codecs, so the actual byte decoding is a
-  * clearly-marked DETERMINISTIC FAKE (`stubDecode*` below): it derives
-  * plausible metadata and features from the bytes via wyhash. Everything
-  * around it — schemas, null handling, batch shape, partition preservation,
-  * column pruning — is real and tested; swapping in a real codec is replacing
-  * the one pure function.
+  * Codec status:
+  *   - IMAGE decode/resize are REAL: `javax.imageio` ships in the JDK's
+  *     `java.desktop` module (PNG/JPEG/BMP/GIF/WBMP readers) and runs
+  *     headless; resize uses area-averaging via `java.awt.Image`.
+  *   - AUDIO decode is REAL for the JDK-native containers (WAV/AIFF/AU,
+  *     PCM): `javax.sound.sampled` parses format + frames, and features
+  *     (duration, RMS) come from the actual samples.
+  *   - VIDEO frame sampling remains a clearly-marked DETERMINISTIC STUB —
+  *     the JDK has no video codec and this sandbox can't add one; the
+  *     batching/schema/null plumbing around it is real and tested, and a
+  *     production build swaps `stubSampleFrames` for an FFmpeg-backed
+  *     function of the same signature.
+  *
+  * Rows whose bytes fail to decode (not an image / truncated / unsupported
+  * codec) yield a NULL meta struct rather than failing the job — at corpus
+  * scale undecodable blobs are data, not errors.
   */
 object Multimodal {
 
@@ -30,39 +42,113 @@ object Multimodal {
     StructField("format", StringType, nullable = false),
     StructField("mean_intensity", DoubleType, nullable = false)))
 
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("sample_rate", DoubleType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false),
+    StructField("duration_sec", DoubleType, nullable = false),
+    StructField("rms", DoubleType, nullable = false)))
+
   val DefaultBatchSize = 64
 
-  /** DETERMINISTIC FAKE decode of an "image": metadata from the content hash,
-    * mean intensity from an actual byte scan (so the plumbing moves real
-    * bytes). A production build replaces this body with e.g. javax.imageio.
+  /** REAL image decode via javax.imageio. Returns null when the bytes are
+    * not a decodable image. `mean_intensity` is the mean over all pixels of
+    * (r+g+b)/3 in 0..255 — computed from the actual decoded raster.
     */
-  private[ops] def stubDecodeImage(bytes: Array[Byte]): Row = {
-    val h = WyHash.hash(bytes, 0, bytes.length, 0L)
-    val width = 64 + ((h & 0x3ff).toInt)
-    val height = 64 + (((h >>> 10) & 0x3ff).toInt)
-    val channels = if (((h >>> 20) & 1L) == 0L) 3 else 1
-    var sum = 0L
-    var i = 0
-    while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
-    val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
-    Row(width, height, channels, "stub", mean)
+  private[ops] def decodeImage(bytes: Array[Byte]): Row = {
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val channels = img.getColorModel.getNumComponents
+        val format = sniffFormat(bytes)
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) + (rgb & 0xff)) / 3.0
+            x += 1
+          }
+          y += 1
+        }
+        Row(w, h, channels, format, sum / (w.toLong * h))
+      }
+    } catch { case _: Exception => null }
   }
 
-  /** DETERMINISTIC FAKE resize: keeps a content-hash "thumbnail" of the target
-    * size (real byte output, fake pixels).
+  /** REAL resize: area-averaging scale, re-encoded as PNG bytes. Null for
+    * undecodable inputs.
     */
-  private[ops] def stubResize(bytes: Array[Byte], w: Int, hgt: Int): Array[Byte] = {
-    val out = new Array[Byte](math.max(1, (w * hgt) / 64))
-    var i = 0
-    while (i < out.length) {
-      out(i) = (WyHash.hash(bytes, 0, bytes.length, i.toLong) & 0xff).toByte
-      i += 1
-    }
-    out
+  private[ops] def resizeImage(bytes: Array[Byte], w: Int, hgt: Int): Array[Byte] = {
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val thumb = new java.awt.image.BufferedImage(w, hgt,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = thumb.createGraphics()
+        g.drawImage(img.getScaledInstance(w, hgt, java.awt.Image.SCALE_AREA_AVERAGING),
+          0, 0, null)
+        g.dispose()
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(thumb, "png", bos)
+        bos.toByteArray
+      }
+    } catch { case _: Exception => null }
   }
 
-  /** DETERMINISTIC FAKE frame sampling of a "video": n equal slices of the
-    * byte stream stand in for decoded frames.
+  /** REAL audio decode for JDK-native containers (WAV/AIFF/AU, PCM).
+    * Null for anything javax.sound can't parse (mp3, ogg, ...).
+    */
+  private[ops] def decodeAudio(bytes: Array[Byte]): Row = {
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val duration =
+          if (frames >= 0 && fmt.getFrameRate > 0) frames / fmt.getFrameRate.toDouble
+          else 0.0
+        val bits = fmt.getSampleSizeInBits
+        // RMS over 16-bit little-endian PCM samples (the WAV default); other
+        // widths report 0.0 rather than guessing at the sample layout.
+        var rms = 0.0
+        if (bits == 16) {
+          val data = in.readAllBytes()
+          var i = 0
+          var acc = 0.0
+          var n = 0
+          val le = !fmt.isBigEndian
+          while (i + 1 < data.length) {
+            val s =
+              if (le) ((data(i) & 0xff) | (data(i + 1) << 8)).toShort
+              else ((data(i + 1) & 0xff) | (data(i) << 8)).toShort
+            val v = s / 32768.0
+            acc += v * v
+            n += 1
+            i += 2
+          }
+          if (n > 0) rms = math.sqrt(acc / n)
+        }
+        Row(fmt.getSampleRate.toDouble, fmt.getChannels, bits, duration, rms)
+      } finally in.close()
+    } catch { case _: Exception => null }
+  }
+
+  private def sniffFormat(b: Array[Byte]): String = {
+    if (b.length >= 4 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+    else "unknown"
+  }
+
+  /** DETERMINISTIC STUB frame sampling of a "video": n equal slices of the
+    * byte stream stand in for decoded frames (no video codec exists in the
+    * JDK or this sandbox; see the object scaladoc).
     */
   private[ops] def stubSampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
     if (bytes.isEmpty) Seq.empty
@@ -73,57 +159,91 @@ object Multimodal {
     }
   }
 
-  /** Batched partition transform: the mapInPandas shape. Appends the decoded
-    * metadata struct for `binCol`; batches of `batchSize` rows mimic Arrow
-    * record batches (a real decoder initializes once per batch).
+  /** Shared batched partition transform: the mapInPandas shape. Appends one
+    * computed column; batches of `batchSize` rows mimic Arrow record batches
+    * (decoder/model setup amortizes per batch).
     */
-  def decodeImages(df: DataFrame, binCol: String,
-      outCol: String = "image_meta", batchSize: Int = DefaultBatchSize): DataFrame = {
-    val outSchema = StructType(df.schema :+ StructField(outCol, imageMetaSchema))
+  private def appendBatched(df: DataFrame, binCol: String, outField: StructField,
+      batchSize: Int)(f: Array[Byte] => Any): DataFrame = {
+    val outSchema = StructType(df.schema :+ outField)
     val binIdx = df.schema.fieldIndex(binCol)
-    implicit val enc: org.apache.spark.sql.Encoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // per-batch setup would go here (codec/model init)
         batch.iterator.map { row =>
           val bytes = row.getAs[Array[Byte]](binIdx)
-          val meta = if (bytes == null) null else stubDecodeImage(bytes)
-          Row.fromSeq(row.toSeq :+ meta)
+          val out = if (bytes == null) null else f(bytes)
+          Row.fromSeq(row.toSeq :+ out)
         }
       }
     }
   }
 
-  /** Batched resize: appends a `binary` thumbnail column. */
+  /** Appends the decoded image metadata struct for `binCol` (real decode;
+    * null for undecodable bytes).
+    */
+  def decodeImages(df: DataFrame, binCol: String,
+      outCol: String = "image_meta", batchSize: Int = DefaultBatchSize): DataFrame =
+    appendBatched(df, binCol, StructField(outCol, imageMetaSchema), batchSize)(decodeImage)
+
+  /** Appends a real `binary` PNG thumbnail column (null for undecodable bytes). */
   def resizeImages(df: DataFrame, binCol: String, width: Int, height: Int,
-      outCol: String = "thumbnail", batchSize: Int = DefaultBatchSize): DataFrame = {
-    val outSchema = StructType(df.schema :+ StructField(outCol, BinaryType))
-    val binIdx = df.schema.fieldIndex(binCol)
-    implicit val enc: org.apache.spark.sql.Encoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    df.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { row =>
-          val bytes = row.getAs[Array[Byte]](binIdx)
-          val thumb = if (bytes == null) null else stubResize(bytes, width, height)
-          Row.fromSeq(row.toSeq :+ thumb)
-        }
-      }
+      outCol: String = "thumbnail", batchSize: Int = DefaultBatchSize): DataFrame =
+    appendBatched(df, binCol, StructField(outCol, BinaryType), batchSize)(
+      resizeImage(_, width, height))
+
+  /** Appends the decoded audio metadata struct for `binCol` (real for
+    * WAV/AIFF/AU; null otherwise).
+    */
+  def decodeAudios(df: DataFrame, binCol: String,
+      outCol: String = "audio_meta", batchSize: Int = DefaultBatchSize): DataFrame =
+    appendBatched(df, binCol, StructField(outCol, audioMetaSchema), batchSize)(decodeAudio)
+
+  /** Appends an `array<binary>` of n frames (video: deterministic stub). */
+  def sampleFrames(df: DataFrame, binCol: String, n: Int,
+      outCol: String = "frames", batchSize: Int = DefaultBatchSize): DataFrame =
+    appendBatched(df, binCol,
+      StructField(outCol, ArrayType(BinaryType, containsNull = false)), batchSize)(
+      stubSampleFrames(_, n))
+
+  /** Deterministic synthetic "test card": a solid-gray PNG whose shade and
+    * width derive from the id (gray v = id % 256, size (8 + id % 5) x 8).
+    * PNG is lossless, so the decoded metadata of a test card is exactly
+    * predictable from the id — this is what lets driver-checked oracle
+    * queries exercise the REAL ImageIO decode path even though the testdata
+    * ships no image files.
+    */
+  private[ops] def renderTestCard(id: Long): Array[Byte] = {
+    val w = 8 + (id % 5).toInt
+    val h = 8
+    val v = (id % 256).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (v << 16) | (v << 8) | v
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
     }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** Batched frame sampling: appends an `array<binary>` of n frames. */
-  def sampleFrames(df: DataFrame, binCol: String, n: Int,
-      outCol: String = "frames", batchSize: Int = DefaultBatchSize): DataFrame = {
-    val outSchema = StructType(df.schema :+
-      StructField(outCol, ArrayType(BinaryType, containsNull = false)))
-    val binIdx = df.schema.fieldIndex(binCol)
-    implicit val enc: org.apache.spark.sql.Encoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+  /** Appends a real PNG test-card blob per row of `idCol` (see renderTestCard). */
+  def renderTestCards(df: DataFrame, idCol: String, outCol: String = "blob",
+      batchSize: Int = DefaultBatchSize): DataFrame = {
+    val outSchema = StructType(df.schema :+ StructField(outCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { row =>
-          val bytes = row.getAs[Array[Byte]](binIdx)
-          val frames = if (bytes == null) null else stubSampleFrames(bytes, n)
-          Row.fromSeq(row.toSeq :+ frames)
+          Row.fromSeq(row.toSeq :+ renderTestCard(row.getLong(idIdx)))
         }
       }
     }
