@@ -194,7 +194,7 @@ object SparkEntry {
     // connected components via a recursive CTE
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = read(s, dir, "documents")
-        .filter(col("doc_id") < 1000)
+        .filter(col("doc_id") < 500)
         .filter(size(filter(split(lower(col("text")), "[^\\p{L}\\p{N}]+"),
           w => length(w) > 0)) >= 5)
       val sh = docs.select(col("doc_id"), shingle_set(col("text"), 5).as("s"))
@@ -352,7 +352,7 @@ object SparkEntry {
       "SELECT COUNT(DISTINCT text) AS kept FROM documents",
     "q_dedup_clusters" ->
       ("WITH RECURSIVE docs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS words " +
-        "FROM documents WHERE doc_id < 1000), " +
+        "FROM documents WHERE doc_id < 500), " +
         "sh AS (SELECT doc_id, list_distinct([array_to_string(words[i:i+4], ' ') for i in range(1, len(words) - 3)]) AS s " +
         "FROM docs WHERE len(words) >= 5), " +
         "pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM sh a, sh b WHERE a.doc_id < b.doc_id " +

@@ -114,6 +114,12 @@ object functions {
   def shingle_set(col: Column, shingleSize: Int = 5): Column =
     toCol(ShingleSet(ex(col), shingleSize))
 
+  /** Scalar: single-pass char-class statistics struct (letters, digits,
+    * symbols, upper, letter_runs, other_runs) — replaces a stack of
+    * regexp_replace+length passes with one codepoint walk.
+    */
+  def char_class_counts(col: Column): Column = toCol(CharClassCounts(ex(col)))
+
   // ---------------------------------------------------------------------
   // SQL registration
   // ---------------------------------------------------------------------

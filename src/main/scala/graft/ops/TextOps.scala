@@ -59,22 +59,29 @@ object TextOps {
   /** Quality features as a struct: char length, word count, mean word length,
     * alpha ratio, digit ratio, punct-ish ratio, uppercase ratio, stopword
     * ratio (against the english profile), unique-word ratio.
+    *
+    * Character-class ratios come from the single-pass `char_class_counts`
+    * expression (one codepoint walk) instead of four separate
+    * regexp_replace+length scans per row; the class definitions are
+    * identical (TextAnalysis scaladoc), and codegen subexpression
+    * elimination shares the one pass across the four fields.
     */
   def qualityFeatures(text: Column): Column = {
     val words = wordsOf(text)
+    val cc = char_class_counts(text)
     val nChars = length(text).cast("double")
     val nWords = size(words).cast("double")
     struct(
       length(text).as("n_chars"),
       size(words).as("n_words"),
       when(nWords > 0, nChars / nWords).otherwise(lit(0.0)).as("mean_word_len"),
-      (length(regexp_replace(text, "[^\\p{L}]", "")).cast("double") /
+      (cc.getField("letters").cast("double") /
         greatest(nChars, lit(1.0))).as("alpha_ratio"),
-      (length(regexp_replace(text, "[^0-9]", "")).cast("double") /
+      (cc.getField("digits").cast("double") /
         greatest(nChars, lit(1.0))).as("digit_ratio"),
-      (length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", "")).cast("double") /
+      (cc.getField("symbols").cast("double") /
         greatest(nChars, lit(1.0))).as("punct_ratio"),
-      (length(regexp_replace(text, "[^A-ZА-ЯÀ-Þ]", "")).cast("double") /
+      (cc.getField("upper").cast("double") /
         greatest(nChars, lit(1.0))).as("upper_ratio"),
       (size(array_intersect(words, typedLit(stopwordProfiles("en")))).cast("double") /
         greatest(nWords, lit(1.0))).as("en_stopword_ratio"),
@@ -101,13 +108,16 @@ object TextOps {
     size(filter(split(text, "\\s+"), w => length(w) > 0))
 
   /** BPE-ish subword token count: word-piece runs + digits + non-space
-    * punctuation, the usual ~chars/4 pre-tokenizer approximation.
+    * punctuation, the usual ~chars/4 pre-tokenizer approximation. Computed
+    * from the single-pass counter: the lookaround split this replaces
+    * produced exactly the maximal letter-runs plus maximal
+    * non-letter-non-space runs.
     */
-  def tokenCountBpeish(text: Column): Column =
-    size(filter(
-      split(text, "(?<=[\\p{L}])(?=[^\\p{L}\\s])|(?<=[^\\p{L}\\s])(?=[\\p{L}])|\\s+"),
-      w => length(w) > 0)) +
-      (length(regexp_replace(text, "[^\\p{L}]", "")).cast("int") / lit(8)).cast("int")
+  def tokenCountBpeish(text: Column): Column = {
+    val cc = char_class_counts(text)
+    cc.getField("letter_runs") + cc.getField("other_runs") +
+      (cc.getField("letters") / lit(8)).cast("int")
+  }
 
   /** 64-bit content fingerprint of whitespace-normalized lowercase text —
     * stable under formatting-only changes (the rolling-hash document
