@@ -120,6 +120,15 @@ object functions {
     */
   def char_class_counts(col: Column): Column = toCol(CharClassCounts(ex(col)))
 
+  /** Scalar: codegen'd dot product of two array<float|double> columns (same
+    * numeric semantics as aggregate(zip_with(a,b,_*_),0.0,_+_), ~one
+    * primitive loop instead of interpreted lambdas per element).
+    */
+  def vec_dot(a: Column, b: Column): Column = toCol(VecDot(ex(a), ex(b)))
+
+  /** Scalar: codegen'd L2 norm of an array<float|double> column. */
+  def vec_norm(a: Column): Column = toCol(VecNorm(ex(a)))
+
   // ---------------------------------------------------------------------
   // SQL registration
   // ---------------------------------------------------------------------

@@ -260,17 +260,24 @@ object Dedup {
       threshold: Double = 0.95,
       planes: Int = 10,
       tables: Int = 6): DataFrame = {
+    // norms once per row before the self-join, never per candidate pair
     val banded = df.select(
       col(idCol).as("_id"), col(vecCol).as("_v"),
+      Similarity.norm(col(vecCol)).as("_n"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
           Similarity.hyperplaneBucket(col(vecCol), dim, planes, t).as("b"))): _*))
         .as("_bucket"))
-    val a = banded.select(col("_bucket"), col("_id").as("id_a"), col("_v").as("_va"))
-    val b = banded.select(col("_bucket"), col("_id").as("id_b"), col("_v").as("_vb"))
+    val a = banded.select(col("_bucket"), col("_id").as("id_a"),
+      col("_v").as("_va"), col("_n").as("_na"))
+    val b = banded.select(col("_bucket"), col("_id").as("id_b"),
+      col("_v").as("_vb"), col("_n").as("_nb"))
+    val denom = col("_na") * col("_nb")
     a.join(b, Seq("_bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), Similarity.cosine(col("_va"), col("_vb")).as("cosine"))
+      .select(col("id_a"), col("id_b"),
+        when(denom > 0, Similarity.dot(col("_va"), col("_vb")) / denom)
+          .otherwise(lit(0.0)).as("cosine"))
       .filter(col("cosine") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("cosine")).as("cosine"))

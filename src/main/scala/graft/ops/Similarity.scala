@@ -13,18 +13,22 @@ import org.apache.spark.sql.functions._
   *   - hyperplane LSH: deterministic random-hyperplane sign buckets; the join
   *     touches only matching buckets, the standard recall/cost dial at
   *     corpus scale (multi-probe via several independent tables).
-  * All vector math is built-in column algebra (zip_with + aggregate), fully
-  * codegen-friendly; no UDFs, no RDDs.
+  * All vector math runs through the codegen'd VecDot/VecNorm kernels (the
+  * built-in zip_with/aggregate higher-order functions are CodegenFallback —
+  * interpreted lambda dispatch per element); norms are computed once per
+  * row, never per candidate pair. No UDFs, no RDDs.
   */
 object Similarity {
 
-  /** Dot product of two array<float>/array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two array<float>/array<double> columns — the codegen'd
+    * VecDot kernel (bit-identical to the zip_with+aggregate formulation it
+    * replaced, which was CodegenFallback and paid interpreted lambda
+    * dispatch per element).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.vec_dot(a, b)
 
-  /** L2 norm. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+  /** L2 norm (codegen'd VecNorm kernel). */
+  def norm(a: Column): Column = graft.functions.vec_norm(a)
 
   /** Cosine similarity in [-1, 1]; 0 when either vector is zero. */
   def cosine(a: Column, b: Column): Column = {
@@ -44,11 +48,18 @@ object Similarity {
       queryId: String,
       queryVec: String,
       k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    // norms once per side, not per (corpus x query) pair
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv"),
+      norm(col(queryVec)).as("_qn"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv"),
+      norm(col(corpusVec)).as("_cn"))
+    val denom = col("_qn") * col("_cn")
+    val scored = c.crossJoin(broadcast(q))
       .select(
-        col(queryId).as("query_id"),
-        col(corpusId).as("neighbor_id"),
-        cosine(col(queryVec), col(corpusVec)).as("cosine"))
+        col("query_id"),
+        col("neighbor_id"),
+        when(denom > 0, dot(col("_qv"), col("_cv")) / denom)
+          .otherwise(lit(0.0)).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -96,17 +107,21 @@ object Similarity {
       tables: Int = 4): DataFrame = {
     val corpusBuckets = corpus.select(
       col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv"),
+      norm(col(corpusVec)).as("_cn"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
           hyperplaneBucket(col(corpusVec), dim, planes, t).as("b"))): _*)).as("_bucket"))
     val queryBuckets = queries.select(
       col(queryId).as("query_id"), col(queryVec).as("_qv"),
+      norm(col(queryVec)).as("_qn"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
           hyperplaneBucket(col(queryVec), dim, planes, t).as("b"))): _*)).as("_bucket"))
+    val denom = col("_qn") * col("_cn")
     val candidates = corpusBuckets.join(broadcast(queryBuckets), Seq("_bucket"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("_qv"), col("_cv")).as("cosine"))
+        when(denom > 0, dot(col("_qv"), col("_cv")) / denom)
+          .otherwise(lit(0.0)).as("cosine"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("cosine")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))

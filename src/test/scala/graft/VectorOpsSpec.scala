@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Proves the codegen'd VecDot/VecNorm kernels are bit-identical to the
+  * zip_with/aggregate higher-order-function formulations they replaced —
+  * including float-multiply/double-accumulate order, null elements, null
+  * inputs, empty vectors, and zip_with's null-padding on length mismatch.
+  */
+class VectorOpsSpec extends AnyFunSuite {
+  import SharedSpark.spark
+  import spark.implicits._
+
+  private def randFloats(n: Int, seed: Int): Seq[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(_ => Array.fill(rnd.nextInt(80))(
+      (rnd.nextGaussian() * (if (rnd.nextBoolean()) 1e-3 else 1e3)).toFloat))
+  }
+
+  test("vec_dot / vec_norm == zip_with+aggregate, bit for bit (float)") {
+    val rows = randFloats(300, 1).zip(randFloats(300, 2))
+      .map { case (a, b) => (a, b.take(a.length)) } // equal lengths
+    val df = rows.toDF("a", "b")
+    val hofDot = aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val hofNorm = sqrt(aggregate(transform($"a", x => x * x), lit(0.0), (acc, v) => acc + v))
+    val bad = df.select(
+      vec_dot($"a", $"b").as("d_new"), hofDot.as("d_old"),
+      vec_norm($"a").as("n_new"), hofNorm.as("n_old"))
+      .filter($"d_new" =!= $"d_old" || $"n_new" =!= $"n_old").collect()
+    assert(bad.isEmpty, s"divergent: ${bad.take(3).mkString(";")}")
+  }
+
+  test("mixed float x double (the hyperplane-bucket shape) is bit-identical") {
+    val plane = (0 until 64).map(i => math.sin(i * 1.7) * 2.0)
+    val vecs = randFloats(100, 3).map(a => java.util.Arrays.copyOf(a, 64)).toDF("a")
+    val lit64 = typedLit(plane)
+    val hof = aggregate(zip_with($"a", lit64, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val bad = vecs.select(vec_dot($"a", lit64).as("n"), hof.as("o"))
+      .filter($"n" =!= $"o").collect()
+    assert(bad.isEmpty, s"divergent: ${bad.take(3).mkString(";")}")
+  }
+
+  test("nulls and length mismatches behave like the lambda pipeline (null result)") {
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f)), // length mismatch -> zip_with pads null
+      (Array.empty[Float], Array.empty[Float]), // empty -> 0.0
+      (null.asInstanceOf[Array[Float]], Array(1.0f)) // null input -> null
+    ).toDF("a", "b")
+    val rows = df.select(
+      vec_dot($"a", $"b").as("d"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (acc, v) => acc + v).as("o"))
+      .collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).getDouble(0) == 0.0 && rows(1).getDouble(1) == 0.0)
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
+  }
+
+  test("kernels are codegen-capable (no CodegenFallback)") {
+    val fallback = classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+    assert(!fallback.isAssignableFrom(classOf[graft.sql.VecDot]))
+    assert(!fallback.isAssignableFrom(classOf[graft.sql.VecNorm]))
+  }
+}
