@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{CheckpointedAgg, NorthQueries}
+import graft.ops.{CheckpointedAgg, Dedup, NorthQueries}
 import graft.sources.PagesTable
 
 import org.apache.spark.sql.SparkSession
@@ -13,6 +13,8 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Main <jar> shingles-per-day <pagesPath> <outPath> [p]
   * spark-submit --class graft.Main <jar> checkpointed-urls-per-lang <pagesPath> <ckptDir> <outPath> [p]
   * spark-submit --class graft.Main <jar> generate-pages <outPath> <rows> <distinctUrls>
+  * spark-submit --class graft.Main <jar> dedup-exact <pagesPath> <outPath>
+  * spark-submit --class graft.Main <jar> dedup-minhash <pagesPath> <outPath> [threshold]
   * }}}
   *
   * No master/parallelism is hard-coded: cluster size, executor counts, AQE
@@ -72,6 +74,28 @@ object Main {
         PagesTable.writeTo(
           PagesTable.generate(spark, rows.toLong, urls.toLong,
             partitions = spark.sparkContext.defaultParallelism * 4), out)
+
+      // Exact dedup soak: keep one row per identical text (min url); the
+      // summary aggregate forces the text column through the semi join, so
+      // the job measures the full restore path without a corpus-size write.
+      case "dedup-exact" =>
+        val Array(_, in, out) = args.take(3)
+        Dedup.exactByHash(PagesTable.readFrom(spark, in), "url", "text")
+          .agg(
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("kept"),
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.length(
+                org.apache.spark.sql.functions.col("text"))).as("kept_text_chars"))
+          .write.mode("overwrite").parquet(out)
+
+      case "dedup-minhash" =>
+        val Array(_, in, out) = args.take(3)
+        val threshold = if (args.length > 3) args(3).toDouble else 0.8
+        Dedup.minHashDedup(PagesTable.readFrom(spark, in), "url", "text", threshold)
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("kept"))
+          .write.mode("overwrite").parquet(out)
 
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other")

@@ -243,6 +243,9 @@ object functions {
         org.apache.spark.sql.catalyst.expressions.Cast(
           args(1), org.apache.spark.sql.types.DoubleType))
     },
+    "char_class_counts" -> { args => CharClassCounts(args.head) },
+    "vec_dot" -> { args => VecDot(args(0), args(1)) },
+    "vec_norm" -> { args => VecNorm(args.head) },
     "bloom_merge" -> { args => SketchUnionAgg(args.head, "bloom").toAggregateExpression() },
     "cms_merge" -> { args => SketchUnionAgg(args.head, "cms").toAggregateExpression() },
     "tdigest_merge" -> { args => SketchUnionAgg(args.head, "tdigest").toAggregateExpression() },

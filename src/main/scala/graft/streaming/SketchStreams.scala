@@ -32,6 +32,23 @@ object SketchStreams {
       .agg(ce_approx_distinct(col(valueCol), p, w).as("approx_distinct"))
   }
 
+  /** Streaming exact dedup: drops rows whose text content was already seen
+    * within the watermark horizon. The dedup state is keyed on the 8-byte
+    * wyhash of the text — the state store holds tiny hash keys plus event
+    * time, never the document text, and the watermark bounds state size (the
+    * streaming analog of Dedup.exactByHash's projected winner election).
+    */
+  def streamingExactDedup(
+      stream: DataFrame,
+      textCol: String,
+      eventTimeCol: String,
+      watermarkDelay: String): DataFrame =
+    stream
+      .withColumn("_content_hash", wyhash64(col(textCol)))
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("_content_hash")
+      .drop("_content_hash")
+
   /** Running sketch per key (update/complete mode): emits the serialized
     * sketch so downstream consumers can union across jobs.
     */

@@ -58,6 +58,18 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
   }
 
+  test("SQL registration: vec_dot / vec_norm / char_class_counts usable from SQL") {
+    graft.functions.registerAll(spark)
+    Seq((Array(3.0f, 4.0f), Array(1.0f, 0.0f), "Ab1 c!"))
+      .toDF("a", "b", "t").createOrReplaceTempView("vec_sql_test")
+    val r = spark.sql(
+      """SELECT vec_dot(a, b) AS d, vec_norm(a) AS n,
+        |char_class_counts(t).letters AS l, char_class_counts(t).upper AS u
+        |FROM vec_sql_test""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 3.0 && r.getDouble(1) == 5.0)
+    assert(r.getInt(2) == 3 && r.getInt(3) == 1)
+  }
+
   test("kernels are codegen-capable (no CodegenFallback)") {
     val fallback = classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
     assert(!fallback.isAssignableFrom(classOf[graft.sql.VecDot]))

@@ -65,6 +65,31 @@ class SketchStreamsSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming exact dedup within watermark: duplicates dropped across batches") {
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = SketchStreams.streamingExactDedup(
+      input.toDF().toDF("ts", "id", "text"), "text", "ts", "10 minutes")
+    val query = out.writeStream.format("memory").outputMode("append")
+      .queryName("stream_dedup").start()
+    try {
+      val base = 1700000000000L
+      input.addData(
+        (new Timestamp(base), 1L, "alpha doc"),
+        (new Timestamp(base + 1000), 2L, "alpha doc"), // dup in same batch
+        (new Timestamp(base + 2000), 3L, "beta doc"))
+      query.processAllAvailable()
+      input.addData(
+        (new Timestamp(base + 3000), 4L, "alpha doc"), // dup across batches
+        (new Timestamp(base + 4000), 5L, "gamma doc"))
+      query.processAllAvailable()
+      val kept = spark.table("stream_dedup").collect().map(_.getString(2)).toSeq.sorted
+      assert(kept == Seq("alpha doc", "beta doc", "gamma doc"),
+        s"got $kept")
+      // state keys are hashes: output schema carries no helper column
+      assert(spark.table("stream_dedup").schema.fieldNames.toSeq == Seq("ts", "id", "text"))
+    } finally query.stop()
+  }
+
   test("windowed streaming distinct with watermark") {
     val input = MemoryStream[(Timestamp, Long)]
     val agg = SketchStreams.distinctPerWindow(
