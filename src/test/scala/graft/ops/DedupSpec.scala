@@ -118,6 +118,37 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters(99L) == 99L)
   }
 
+  test("nearDupClusters == exact connected components on random graphs") {
+    val rnd = new scala.util.Random(12)
+    for (trial <- 0 until 3) {
+      val n = 60
+      val edges = (0 until 70)
+        .map(_ => (rnd.nextInt(n), rnd.nextInt(n)))
+        .filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2).toLong, math.max(p._1, p._2).toLong))
+        .distinct
+      // exact expected labels: min-label propagation to fixpoint in plain Scala
+      val label = Array.tabulate(n)(_.toLong)
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b) =>
+          val m = math.min(label(a.toInt), label(b.toInt))
+          if (label(a.toInt) != m) { label(a.toInt) = m; changed = true }
+          if (label(b.toInt) != m) { label(b.toInt) = m; changed = true }
+        }
+      }
+      val docs = (0L until n.toLong).toDF("doc_id")
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = Dedup.nearDupClusters(docs, "doc_id", pairs, iterations = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0 until n).foreach { i =>
+        assert(got(i.toLong) == label(i),
+          s"trial $trial node $i: got ${got(i.toLong)} want ${label(i)}")
+      }
+    }
+  }
+
   test("nearDupClusters plan size is O(1) in iterations (lineage truncated)") {
     val docs = ((1L to 11L) :+ 99L).toDF("doc_id")
     val pairs = (1L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
