@@ -75,12 +75,13 @@ object Main {
           PagesTable.generate(spark, rows.toLong, urls.toLong,
             partitions = spark.sparkContext.defaultParallelism * 4), out)
 
-      // Exact dedup soak: keep one row per identical text (min url); the
-      // summary aggregate forces the text column through the semi join, so
-      // the job measures the full restore path without a corpus-size write.
+      // Exact dedup soak: one row per identical text. The pages table has no
+      // unique row id (urls repeat by design), so this exercises the id-less
+      // exactByContent path; the summary aggregate forces the text column
+      // through the plan without a corpus-size write.
       case "dedup-exact" =>
         val Array(_, in, out) = args.take(3)
-        Dedup.exactByHash(PagesTable.readFrom(spark, in), "url", "text")
+        Dedup.exactByContent(PagesTable.readFrom(spark, in), "text")
           .agg(
             org.apache.spark.sql.functions.count(
               org.apache.spark.sql.functions.lit(1)).as("kept"),
@@ -89,10 +90,14 @@ object Main {
                 org.apache.spark.sql.functions.col("text"))).as("kept_text_chars"))
           .write.mode("overwrite").parquet(out)
 
+      // cacheSignatures=false: the generated pages' texts (~150 B) are far
+      // smaller than their 1 KB signatures, so recomputing beats spilling
+      // ~1 KB/row of checkpoint blocks to executor disk.
       case "dedup-minhash" =>
         val Array(_, in, out) = args.take(3)
         val threshold = if (args.length > 3) args(3).toDouble else 0.8
-        Dedup.minHashDedup(PagesTable.readFrom(spark, in), "url", "text", threshold)
+        Dedup.minHashDedup(PagesTable.readFrom(spark, in), "url", "text", threshold,
+          cacheSignatures = false)
           .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("kept"))
           .write.mode("overwrite").parquet(out)

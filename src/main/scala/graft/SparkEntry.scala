@@ -37,6 +37,13 @@ object SparkEntry {
     "q_ce_golden_anchor" -> ((s, _) =>
       s.range(10000).agg(ce_approx_distinct(col("id")).as("golden_estimate"))),
 
+    // the same anchor at the precision extremes the reference publishes
+    // goldens for (src/estimator.rs:202-249): p10w5 -> 10417, p18w6 -> 10007
+    "q_ce_golden_anchor_p10_p18" -> ((s, _) =>
+      s.range(10000).agg(
+        ce_approx_distinct(col("id"), 10, 5).as("golden_p10w5"),
+        ce_approx_distinct(col("id"), 18, 6).as("golden_p18w6"))),
+
     // ----- exact-mode sketch queries (oracle: COUNT DISTINCT, bit-exact) -----
     "q_ce_custkey_per_nation" -> ((s, dir) =>
       read(s, dir, "customer")
@@ -320,6 +327,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_ce_golden_anchor" ->
       "SELECT CAST(10068 AS BIGINT) AS golden_estimate",
+    "q_ce_golden_anchor_p10_p18" ->
+      "SELECT CAST(10417 AS BIGINT) AS golden_p10w5, CAST(10007 AS BIGINT) AS golden_p18w6",
     "q_ce_custkey_per_nation" ->
       "SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS distinct_custkeys FROM customer GROUP BY c_nationkey",
     "q_ce_suppkey_per_nation" ->

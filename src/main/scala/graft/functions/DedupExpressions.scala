@@ -15,17 +15,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * fingerprints.
   */
 private[graft] object Shingling {
-  /** wyhash of each word k-gram of the (lowercased) text. */
+
+  // compiled once: String.split would recompile the pattern on every row
+  private val WordBoundary = java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]+")
+
+  /** 64-bit hash of each word k-gram of the (lowercased) text.
+    *
+    * Each word is wyhashed ONCE; a shingle's hash is a position-sensitive
+    * mum-mix of its k word hashes (the same combiner as the LSH band key).
+    * The earlier formulation re-built the joined shingle string and re-hashed
+    * its full byte run for every window position — O(k) more byte traffic
+    * plus two allocations per shingle. Downstream semantics only need the
+    * hash to be deterministic and injective-in-practice (set sizes for exact
+    * Jaccard, permutation minima for MinHash), which the mix preserves.
+    */
   def shingleHashes(text: UTF8String, k: Int): Array[Long] = {
-    val words = split(text)
-    if (words.length < k) {
-      if (words.isEmpty) Array.empty
-      else Array(hashJoined(words, 0, words.length))
+    val wh = wordHashes(text)
+    if (wh.length < k) {
+      if (wh.isEmpty) Array.empty
+      else Array(combine(wh, 0, wh.length))
     } else {
-      val out = new Array[Long](words.length - k + 1)
+      val out = new Array[Long](wh.length - k + 1)
       var i = 0
-      while (i + k <= words.length) {
-        out(i) = hashJoined(words, i, k)
+      while (i + k <= wh.length) {
+        out(i) = combine(wh, i, k)
         i += 1
       }
       out
@@ -34,19 +47,30 @@ private[graft] object Shingling {
 
   def split(text: UTF8String): Array[String] = {
     // toLowerCase on the JVM string: correctness over micro-perf here
-    text.toString.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    WordBoundary.split(text.toString.toLowerCase).filter(_.nonEmpty)
   }
 
-  private def hashJoined(words: Array[String], start: Int, len: Int): Long = {
-    val sb = new java.lang.StringBuilder
-    var i = start
-    while (i < start + len) {
-      if (i > start) sb.append(' ')
-      sb.append(words(i))
+  /** wyhash of every word of the lowercased text. */
+  def wordHashes(text: UTF8String): Array[Long] = {
+    val words = split(text)
+    val out = new Array[Long](words.length)
+    var i = 0
+    while (i < words.length) {
+      val bytes = words(i).getBytes("UTF-8")
+      out(i) = WyHash.hash(bytes, 0, bytes.length, 0L)
       i += 1
     }
-    val bytes = sb.toString.getBytes("UTF-8")
-    WyHash.hash(bytes, 0, bytes.length, 0L)
+    out
+  }
+
+  @inline private def combine(h: Array[Long], start: Int, len: Int): Long = {
+    var acc = WyHash.hashLong(len.toLong)
+    var i = start
+    while (i < start + len) {
+      acc = WyHash.mum(acc ^ h(i), WyHash.P1)
+      i += 1
+    }
+    acc
   }
 }
 
@@ -115,12 +139,11 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   override def dataType: DataType = LongType
 
   override protected def nullSafeEval(input: Any): Any = {
-    val words = Shingling.split(input.asInstanceOf[UTF8String])
+    val wordHs = Shingling.wordHashes(input.asInstanceOf[UTF8String])
     val counters = new Array[Int](64)
     var w = 0
-    while (w < words.length) {
-      val bytes = words(w).getBytes("UTF-8")
-      val h = WyHash.hash(bytes, 0, bytes.length, 0L)
+    while (w < wordHs.length) {
+      val h = wordHs(w)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1

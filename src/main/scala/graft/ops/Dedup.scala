@@ -17,6 +17,12 @@ object Dedup {
     * `textCol` (null texts form one group, like a hash-partitioned window
     * would).
     *
+    * CONTRACT: `idCol` must uniquely identify rows. Rows that share BOTH the
+    * id and the text (true duplicate records) all match the winner pair and
+    * all survive — a semi join cannot tell identical rows apart. For corpora
+    * without a unique id use [[exactByContent]] instead (found the hard way:
+    * a 192M-row soak where the "id" url column repeated kept everything).
+    *
     * Scale shape: the winner election aggregates a PROJECTED `(hash, id)`
     * frame — only ~16 bytes/row cross that exchange, never the text — and the
     * survivors are restored with a left-semi join on `(id, hash)`. When the
@@ -40,6 +46,25 @@ object Dedup {
   /** Exact dedup on selected columns (hash-groupBy semantics). */
   def exactByColumns(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
+
+  /** Exact content dedup for corpora WITHOUT a unique row id: keeps the
+    * lexicographically smallest full row per identical `textCol`
+    * (deterministic across retries and partitionings, unlike
+    * dropDuplicates/first which keep an arbitrary row).
+    *
+    * Scale shape: one hash aggregation — rows shuffle to their content-hash
+    * group, but the partial (map-side) `min(struct(*))` collapses same-split
+    * duplicates before the exchange and, unlike a window, nothing is sorted.
+    * This is the optimum when no unique id exists (each surviving row's
+    * bytes must reach its group's reducer at least once); with a unique id
+    * [[exactByHash]] ships only 16 bytes/row instead.
+    */
+  def exactByContent(df: DataFrame, textCol: String): DataFrame = {
+    val rowStruct = struct(df.columns.map(col): _*)
+    df.groupBy(wyhash64(col(textCol)).as("__g_h"))
+      .agg(min(rowStruct).as("__g_row"))
+      .select(col("__g_row.*"))
+  }
 
   /** MinHash-LSH candidate pairs: documents sharing >= 1 of `bands` band keys,
     * with the signature-estimated Jaccard similarity attached. Returned pairs
@@ -108,12 +133,21 @@ object Dedup {
 
   /** MinHash-LSH near-duplicate pairs with estimated similarity >= threshold.
     *
-    * Scale shape: signatures (~1 KB each) are computed ONCE (lazy
-    * localCheckpoint — materialized to the block managers on first use, so
-    * the three consumers below don't recompute the minhash pass), band
-    * exchanges and the bucket self-join carry only `(band, id)` pairs, and
-    * the signatures are re-joined only for the (far smaller) candidate-pair
-    * set to compute the estimated Jaccard.
+    * Scale shape: band exchanges and the bucket self-join carry only
+    * `(band, id)` pairs, and the signatures are re-joined only for the (far
+    * smaller) candidate-pair set to compute the estimated Jaccard.
+    *
+    * `cacheSignatures` trades storage for CPU across the three consumers of
+    * the signature frame (banding + two candidate rejoins):
+    *   - `true` (default): lazy localCheckpoint — the minhash pass runs once
+    *     and ~(numHashes x 8)B/row are materialized to the block managers
+    *     (memory, spilling to local disk). Right when documents are larger
+    *     than their signatures (real web pages).
+    *   - `false`: signatures are recomputed per consumer — zero storage,
+    *     ~2x signature CPU. Right when documents are SMALLER than their
+    *     1 KB signatures or executor disk is tight (found the hard way: a
+    *     64M-row short-doc soak spilled ~70 GB of checkpointed signatures
+    *     and filled the disk).
     */
   def minHashNearDupPairs(
       df: DataFrame,
@@ -123,10 +157,11 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 16,
       shingleSize: Int = 5,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000,
+      cacheSignatures: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
-    val sigs = nonEmptySigs(df, idCol, textCol, numHashes, shingleSize)
-      .localCheckpoint(eager = false)
+    val rawSigs = nonEmptySigs(df, idCol, textCol, numHashes, shingleSize)
+    val sigs = if (cacheSignatures) rawSigs.localCheckpoint(eager = false) else rawSigs
     val banded = cappedBands(sigs, bands, numHashes / bands, maxBucketSize)
     val a = banded.select(col("_band"), col("_id").as("id_a"))
     val b = banded.select(col("_band"), col("_id").as("id_b"))
@@ -154,9 +189,10 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 128,
       bands: Int = 16,
-      shingleSize: Int = 5): DataFrame = {
+      shingleSize: Int = 5,
+      cacheSignatures: Boolean = true): DataFrame = {
     val losers = minHashNearDupPairs(df, idCol, textCol, threshold, numHashes, bands,
-      shingleSize)
+      shingleSize, cacheSignatures = cacheSignatures)
       .select(col("id_b").as("_loser")).distinct()
     df.join(losers, df(idCol) === col("_loser"), "left_anti")
   }

@@ -32,6 +32,28 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Seq((1L, "hello world"), (2L, "different text"), (9L, "unique one")))
   }
 
+  test("exactByHash contract: rows sharing BOTH id and text all survive (unique-id requirement)") {
+    // the documented limitation that motivated exactByContent: a semi join
+    // cannot tell identical (id, text) rows apart
+    val df = Seq((1L, "same"), (1L, "same"), (2L, "same")).toDF("doc_id", "text")
+    assert(Dedup.exactByHash(df, "doc_id", "text").count() == 2)
+  }
+
+  test("exactByContent: id-less dedup keeps the lexicographically smallest row, deterministically") {
+    val df = Seq(
+      ("https://b", "dup text", 7L), ("https://a", "dup text", 9L),
+      ("https://a", "dup text", 3L), ("https://z", "other", 1L)
+    ).toDF("url", "text", "extra").repartition(5)
+    val out = Dedup.exactByContent(df, "text")
+      .orderBy($"text").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("https://a", "dup text", 3L), ("https://z", "other", 1L)))
+    assert(Dedup.exactByContent(df, "text").columns.toSeq == df.columns.toSeq)
+    // window/semi-join equivalents would have needed a unique id; this path
+    // also dedups true duplicate records
+    val dupRecords = Seq((1L, "x"), (1L, "x"), (1L, "x")).toDF("id", "text")
+    assert(Dedup.exactByContent(dupRecords, "text").count() == 1)
+  }
+
   test("exactByHash keeps exactly one row among null texts") {
     val df = Seq((4L, null: String), (2L, null: String), (1L, "real text"))
       .toDF("doc_id", "text")
@@ -83,13 +105,18 @@ class DedupSpec extends AnyFunSuite {
         "because it talks about distributed query execution instead"),
       (13L, baseText) // exact dup of 10
     ).toDF("doc_id", "text")
-    val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+    // threshold 0.5 needs a banding whose LSH threshold (1/b)^(1/r) sits
+    // BELOW it: 32 bands x 4 rows -> s* ~= 0.42 (16x8's s* ~= 0.71 makes
+    // 0.66-similar pairs coin-flip candidates)
+    val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text", threshold = 0.5,
+      bands = 32)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((10L, 13L)), s"exact dup missed: $pairs")
     assert(pairs.contains((10L, 11L)) && pairs.contains((11L, 13L)),
       s"near dup missed: $pairs")
     assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L), s"false pair with 12: $pairs")
-    val kept = Dedup.minHashDedup(docs, "doc_id", "text", threshold = 0.5)
+    val kept = Dedup.minHashDedup(docs, "doc_id", "text", threshold = 0.5,
+      bands = 32)
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(10L, 12L), s"kept $kept")
   }
