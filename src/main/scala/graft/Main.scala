@@ -92,12 +92,18 @@ object Main {
 
       // cacheSignatures=false: the generated pages' texts (~150 B) are far
       // smaller than their 1 KB signatures, so recomputing beats spilling
-      // ~1 KB/row of checkpoint blocks to executor disk.
+      // ~1 KB/row of checkpoint blocks to executor disk. The pages table has
+      // no unique row id (urls repeat by design), so a deterministic one is
+      // synthesized from (url, warc_ts) — near-dup dedup elects winners per
+      // id, and duplicate ids would silently drop the id_a < id_b pairs.
       case "dedup-minhash" =>
         val Array(_, in, out) = args.take(3)
         val threshold = if (args.length > 3) args(3).toDouble else 0.8
-        Dedup.minHashDedup(PagesTable.readFrom(spark, in), "url", "text", threshold,
-          cacheSignatures = false)
+        val pages = PagesTable.readFrom(spark, in).withColumn("_rid",
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("url"),
+            org.apache.spark.sql.functions.col("warc_ts")))
+        Dedup.minHashDedup(pages, "_rid", "text", threshold, cacheSignatures = false)
           .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("kept"))
           .write.mode("overwrite").parquet(out)

@@ -66,13 +66,6 @@ object Dedup {
       .select(col("__g_row.*"))
   }
 
-  /** MinHash-LSH candidate pairs: documents sharing >= 1 of `bands` band keys,
-    * with the signature-estimated Jaccard similarity attached. Returned pairs
-    * are (idA < idB) distinct.
-    *
-    * Scale shape: signatures are computed per-row; only
-    * (bandKey, id, signature) rows shuffle; the self-join is per-bucket.
-    */
   /** Documents with no shingles at all (empty/whitespace/punct-only text)
     * share the sentinel all-Long.MaxValue signature and would pair everything
     * with everything; they belong to exact dedup, not LSH.
@@ -104,6 +97,11 @@ object Dedup {
     banded.join(smallBuckets, Seq("_band"))
   }
 
+  /** MinHash-LSH candidate pairs: documents sharing >= 1 of `bands` band
+    * keys, as (idA < idB) distinct pairs. Signatures are computed per-row
+    * and never shuffle — band exchanges and the bucket self-join carry only
+    * `(band, id)`.
+    */
   def minHashCandidatePairs(
       df: DataFrame,
       idCol: String,
