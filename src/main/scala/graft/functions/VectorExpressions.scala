@@ -68,11 +68,63 @@ object VecOps {
     java.lang.Double.valueOf(math.sqrt(acc))
   }
 
+  /** See VecEqFraction. Boxed so null can signal the empty-left case. */
+  def eqFraction(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val denom = a.numElements()
+    if (denom == 0) return null
+    val n = math.min(denom, b.numElements())
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) matches += 1
+      i += 1
+    }
+    java.lang.Double.valueOf(matches.toDouble / denom)
+  }
+
   private[sql] def isVec(dt: DataType): Option[Boolean] = dt match {
     case ArrayType(FloatType, _) => Some(true)
     case ArrayType(DoubleType, _) => Some(false)
     case _ => None
   }
+}
+
+/** Fraction of positionally-equal slots of two array<bigint> columns — the
+  * MinHash signature-similarity estimator. Bit-identical to
+  * `aggregate(zip_with(a, b, (x,y) => when(x===y,1).otherwise(0)), 0, _+_)
+  *  .cast(double) / size(a)`: zip_with's null padding and null elements
+  * contribute 0 matches and the denominator is size(a) — except that
+  * size(a) == 0 yields NULL (`try_divide` semantics; the raw formulation
+  * under Spark 4's default ANSI mode would throw DIVIDE_BY_ZERO, and an
+  * empty signature has no meaningful similarity).
+  */
+case class VecEqFraction(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_eq_fraction expects array<bigint> columns, got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.eqFraction(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("eqf")
+      s"""
+         |java.lang.Double $r = graft.sql.VecOps.eqFraction($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecEqFraction =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_eq_fraction"
 }
 
 /** Codegen'd dot product of two array<float>/array<double> columns. */

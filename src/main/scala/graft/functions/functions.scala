@@ -129,6 +129,11 @@ object functions {
   /** Scalar: codegen'd L2 norm of an array<float|double> column. */
   def vec_norm(a: Column): Column = toCol(VecNorm(ex(a)))
 
+  /** Scalar: codegen'd fraction of positionally-equal slots of two
+    * array<bigint> columns (MinHash signature similarity).
+    */
+  def vec_eq_fraction(a: Column, b: Column): Column = toCol(VecEqFraction(ex(a), ex(b)))
+
   // ---------------------------------------------------------------------
   // SQL registration
   // ---------------------------------------------------------------------
@@ -246,6 +251,7 @@ object functions {
     "char_class_counts" -> { args => CharClassCounts(args.head) },
     "vec_dot" -> { args => VecDot(args(0), args(1)) },
     "vec_norm" -> { args => VecNorm(args.head) },
+    "vec_eq_fraction" -> { args => VecEqFraction(args(0), args(1)) },
     "bloom_merge" -> { args => SketchUnionAgg(args.head, "bloom").toAggregateExpression() },
     "cms_merge" -> { args => SketchUnionAgg(args.head, "cms").toAggregateExpression() },
     "tdigest_merge" -> { args => SketchUnionAgg(args.head, "tdigest").toAggregateExpression() },

@@ -122,12 +122,12 @@ object Dedup {
       .distinct()
   }
 
-  /** Signature-estimated Jaccard: fraction of equal slots. */
+  /** Signature-estimated Jaccard: fraction of equal slots (codegen'd
+    * VecEqFraction kernel — runs once per candidate pair, where an
+    * interpreted higher-order function would pay per-slot lambda dispatch).
+    */
   def estJaccard(sigA: Column, sigB: Column): Column =
-    aggregate(
-      zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0),
-      (acc, v) => acc + v).cast("double") / size(sigA)
+    vec_eq_fraction(sigA, sigB)
 
   /** MinHash-LSH near-duplicate pairs with estimated similarity >= threshold.
     *

@@ -70,9 +70,31 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(r.getInt(2) == 3 && r.getInt(3) == 1)
   }
 
+  test("vec_eq_fraction == the when/zip_with/aggregate estimator, incl. edge cases") {
+    val rnd = new scala.util.Random(9)
+    val rows = (0 until 200).map { _ =>
+      val n = 1 + rnd.nextInt(9)
+      val a = Array.fill(n)(rnd.nextInt(4).toLong)
+      val b = Array.fill(rnd.nextInt(10))(rnd.nextInt(4).toLong)
+      (a, b)
+    } :+ ((Array(1L, 2L), Array(1L))) :+ ((Array(3L), Array.empty[Long]))
+    val df = rows.toDF("a", "b")
+    val hof = (aggregate(
+      zip_with($"a", $"b", (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / size($"a")).as("o")
+    val bad = df.select(vec_eq_fraction($"a", $"b").as("n"), hof)
+      .filter(($"n" =!= $"o") || ($"n".isNull =!= $"o".isNull)).collect()
+    assert(bad.isEmpty, s"divergent: ${bad.take(5).mkString(";")}")
+    // empty LEFT side: the raw HOF throws DIVIDE_BY_ZERO under ANSI; the
+    // kernel returns NULL (try_divide semantics)
+    val empty = Seq((Array.empty[Long], Array(1L))).toDF("a", "b")
+    assert(empty.select(vec_eq_fraction($"a", $"b")).collect()(0).isNullAt(0))
+  }
+
   test("kernels are codegen-capable (no CodegenFallback)") {
     val fallback = classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
     assert(!fallback.isAssignableFrom(classOf[graft.sql.VecDot]))
     assert(!fallback.isAssignableFrom(classOf[graft.sql.VecNorm]))
+    assert(!fallback.isAssignableFrom(classOf[graft.sql.VecEqFraction]))
   }
 }
