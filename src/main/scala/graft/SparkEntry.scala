@@ -168,6 +168,12 @@ object SparkEntry {
       graft.ops.Dedup.exactByHash(read(s, dir, "documents"), "doc_id", "text")
         .agg(count(lit(1)).as("kept"))),
 
+    // id-less exact dedup (deterministic smallest surviving row): kept count
+    // AND the sum of surviving doc_ids are both exactly predictable
+    "q_dedup_content_count" -> ((s, dir) =>
+      graft.ops.Dedup.exactByContent(read(s, dir, "documents"), "text")
+        .agg(count(lit(1)).as("kept"), sum(col("doc_id")).as("kept_id_sum"))),
+
     // MinHash-LSH near-dup dedup (not SQL-expressible; rows-only check)
     "q_dedup_minhash_count" -> ((s, dir) =>
       graft.ops.Dedup.minHashDedup(
@@ -359,6 +365,11 @@ object SparkEntry {
       "SELECT event_type, MIN(value) AS min_value, MAX(value) AS max_value FROM events GROUP BY event_type",
     "q_dedup_exact_count" ->
       "SELECT COUNT(DISTINCT text) AS kept FROM documents",
+    // exactByContent keeps the lexicographically smallest row struct, whose
+    // leading field is doc_id -> the survivor per text group is its min id
+    "q_dedup_content_count" ->
+      ("SELECT COUNT(*) AS kept, CAST(SUM(min_id) AS BIGINT) AS kept_id_sum " +
+        "FROM (SELECT MIN(doc_id) AS min_id FROM documents GROUP BY text)"),
     "q_dedup_clusters" ->
       ("WITH RECURSIVE docs AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS words " +
         "FROM documents WHERE doc_id < 500), " +

@@ -273,13 +273,16 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity of two text columns (built-in set
-    * algebra over shingle hash sets).
+    * algebra over shingle hash sets). Two shingle-less texts have no defined
+    * similarity and yield NULL — without the guard Spark 4's default ANSI
+    * mode would throw DIVIDE_BY_ZERO on the empty union.
     */
   def ngramJaccard(textA: Column, textB: Column, shingleSize: Int = 5): Column = {
     val sa = shingle_set(textA, shingleSize)
     val sb = shingle_set(textB, shingleSize)
-    (size(array_intersect(sa, sb)).cast("double") /
-      size(array_union(sa, sb)).cast("double"))
+    val union = size(array_union(sa, sb))
+    when(union > 0,
+      size(array_intersect(sa, sb)).cast("double") / union.cast("double"))
   }
 
   /** Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets prune the

@@ -216,6 +216,10 @@ class DedupSpec extends AnyFunSuite {
       Dedup.ngramJaccard($"a", $"c").as("diff")).collect()(0)
     assert(r.getDouble(0) == 1.0)
     assert(r.getDouble(1) == 0.0)
+    // two shingle-less texts: NULL, not an ANSI DIVIDE_BY_ZERO error
+    val empty = Seq(("", " ")).toDF("a", "b")
+      .select(Dedup.ngramJaccard($"a", $"b").as("j")).collect()(0)
+    assert(empty.isNullAt(0))
   }
 
   test("LSH plan shuffles band keys, not shingles (no explode of shingle sets)") {
