@@ -90,6 +90,25 @@ object Main {
                 org.apache.spark.sql.functions.col("text"))).as("kept_text_chars"))
           .write.mode("overwrite").parquet(out)
 
+      // Same corpus through the unique-id path (exactByHash): a row id is
+      // synthesized from (url, warc_ts); the winner election then shuffles
+      // ~16 B/row instead of full rows — the measured head-to-head against
+      // dedup-exact's id-less aggregation lives in BASELINE.md.
+      case "dedup-exact-byid" =>
+        val Array(_, in, out) = args.take(3)
+        val pages = PagesTable.readFrom(spark, in).withColumn("_rid",
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("url"),
+            org.apache.spark.sql.functions.col("warc_ts")))
+        Dedup.exactByHash(pages, "_rid", "text").drop("_rid")
+          .agg(
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("kept"),
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.length(
+                org.apache.spark.sql.functions.col("text"))).as("kept_text_chars"))
+          .write.mode("overwrite").parquet(out)
+
       // cacheSignatures=false: the generated pages' texts (~150 B) are far
       // smaller than their 1 KB signatures, so recomputing beats spilling
       // ~1 KB/row of checkpoint blocks to executor disk. The pages table has

@@ -31,6 +31,12 @@ object Dedup {
     * whose build side is still only the 16-byte winner pairs. The previous
     * window-function shape unconditionally shipped every column of every row
     * through a full-corpus exchange plus a per-partition sort.
+    *
+    * Measured guidance (192M-row head-to-head, BASELINE.md): when the winner
+    * set is NOT broadcastable, the join back shuffles the full corpus anyway
+    * and [[exactByContent]] (one aggregation, one scan) is ~1.6x faster —
+    * prefer this shape when winners broadcast (modest distinct counts) or
+    * when only the surviving ids are needed (use the election alone).
     */
   def exactByHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val winners = df
@@ -52,11 +58,14 @@ object Dedup {
     * (deterministic across retries and partitionings, unlike
     * dropDuplicates/first which keep an arbitrary row).
     *
-    * Scale shape: one hash aggregation — rows shuffle to their content-hash
-    * group, but the partial (map-side) `min(struct(*))` collapses same-split
-    * duplicates before the exchange and, unlike a window, nothing is sorted.
-    * This is the optimum when no unique id exists (each surviving row's
-    * bytes must reach its group's reducer at least once); with a unique id
+    * Scale shape: one aggregation on the 8-byte content hash — the partial
+    * (map-side) `min(struct(*))` collapses same-split duplicates BEFORE the
+    * exchange, and only one candidate struct per (hash, map partition)
+    * shuffles. Catalyst plans struct-min as a SortAggregate (struct buffers
+    * aren't hash-aggregable — Spark's own dropDuplicates over string columns
+    * sorts the same way), so each partition sorts by the 8-byte hash; unlike
+    * the window shape there is no second full-corpus pass and the reduce
+    * side only sees collapsed candidates. With a unique id
     * [[exactByHash]] ships only 16 bytes/row instead.
     */
   def exactByContent(df: DataFrame, textCol: String): DataFrame = {
