@@ -271,6 +271,22 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
 
+    // end-to-end training-data pipeline composition: quality filter -> exact
+    // dedup -> deterministic split, all in one lazily-planned DataFrame; the
+    // oracle reproduces the quality arithmetic + dedup exactly and checks the
+    // split partitions the survivors completely
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val quality = read(s, dir, "documents")
+        .filter(graft.ops.TextOps.qualityScore(col("text")) >= 0.85)
+      val deduped = graft.ops.Dedup.exactByHash(quality, "doc_id", "text")
+      graft.ops.Sampling.deterministicSplit(deduped, col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .agg(
+          count(lit(1)).as("kept"),
+          countDistinct(col("split")).as("n_splits"),
+          sum(length(col("text"))).as("kept_chars"))
+    }),
+
     // deterministic train/val/test split: the oracle checks the partition is
     // complete and disjoint (total preserved, every doc in exactly one of the
     // 3 splits); WHICH split a key lands in is wyhash-determined, sbt-tested
@@ -383,6 +399,25 @@ object SparkEntry {
         "SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"),
     "q_sampling_split" ->
       "SELECT COUNT(*) AS total_rows, CAST(3 AS BIGINT) AS n_splits, COUNT(DISTINCT doc_id) AS n_docs FROM documents",
+    // same quality arithmetic as q_text_quality's twin, then exact dedup on
+    // text and completeness of the split over the survivors
+    "q_pipeline_e2e" ->
+      ("WITH base AS (SELECT doc_id, text, " +
+        "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> len(x) > 0) AS words, " +
+        "length(text) AS n_chars FROM documents), " +
+        "feat AS (SELECT doc_id, text, len(words) AS n_words, " +
+        "length(regexp_replace(text, '[^\\p{L}]', '', 'g'))::DOUBLE / greatest(n_chars::DOUBLE, 1.0) AS alpha_ratio, " +
+        "length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(n_chars::DOUBLE, 1.0) AS digit_ratio, " +
+        "length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE / greatest(n_chars::DOUBLE, 1.0) AS punct_ratio, " +
+        "len(list_distinct(words))::DOUBLE / greatest(len(words)::DOUBLE, 1.0) AS uniq_ratio FROM base), " +
+        "scored AS (SELECT doc_id, text, " +
+        "round(least(n_words::DOUBLE / 20.0, 1.0) * 0.25 + alpha_ratio * 0.25 + " +
+        "(1.0 - least(digit_ratio * 4.0, 1.0)) * 0.15 + " +
+        "(1.0 - least(punct_ratio * 4.0, 1.0)) * 0.15 + " +
+        "uniq_ratio * 0.20, 4) AS quality FROM feat), " +
+        "survivors AS (SELECT DISTINCT text FROM scored WHERE quality >= 0.85) " +
+        "SELECT COUNT(*) AS kept, CAST(3 AS BIGINT) AS n_splits, " +
+        "CAST(SUM(length(text)) AS BIGINT) AS kept_chars FROM survivors"),
     "q_checkpointed_agg" ->
       "SELECT lang, source, COUNT(DISTINCT doc_id) AS distinct_count, COUNT(*) AS rows_scanned FROM documents GROUP BY 1, 2",
     "q_ngram_jaccard_pairs" ->
