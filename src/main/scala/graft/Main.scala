@@ -26,6 +26,30 @@ object Main {
   private def need(args: Array[String], n: Int, usage: String): Unit =
     require(args.length >= n, s"usage: ${args.headOption.getOrElse("<command>")} $usage")
 
+  /** Pages + a synthesized row id, VERIFIED unique before use: the generator
+    * repeats (url, warc_ts) once the row count reaches
+    * lcm(86400, distinctUrls), and dedup winner election silently
+    * mis-behaves on duplicate ids (exactByHash keeps both copies;
+    * near-dup pairs with equal ids are dropped by the id_a < id_b filter).
+    * One extra counting pass is cheap insurance for a soak harness.
+    */
+  private def pagesWithUniqueRid(spark: SparkSession, in: String) = {
+    val pages = graft.sources.PagesTable.readFrom(spark, in).withColumn("_rid",
+      org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.col("url"),
+        org.apache.spark.sql.functions.col("warc_ts")))
+    val counts = pages.agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("_rid"))).collect()(0)
+    require(counts.getLong(0) == counts.getLong(1),
+      s"synthesized row id (url, warc_ts) not unique: ${counts.getLong(0)} rows vs " +
+        s"${counts.getLong(1)} distinct — table too large for the generator's " +
+        "(url, warc_ts) period; regenerate with fewer rows or more distinct urls")
+    pages
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: <command> <args...> (see scaladoc)")
     args(0) match {
@@ -96,10 +120,7 @@ object Main {
       // dedup-exact's id-less aggregation lives in BASELINE.md.
       case "dedup-exact-byid" =>
         val Array(_, in, out) = args.take(3)
-        val pages = PagesTable.readFrom(spark, in).withColumn("_rid",
-          org.apache.spark.sql.functions.xxhash64(
-            org.apache.spark.sql.functions.col("url"),
-            org.apache.spark.sql.functions.col("warc_ts")))
+        val pages = pagesWithUniqueRid(spark, in)
         Dedup.exactByHash(pages, "_rid", "text").drop("_rid")
           .agg(
             org.apache.spark.sql.functions.count(
@@ -111,17 +132,11 @@ object Main {
 
       // cacheSignatures=false: the generated pages' texts (~150 B) are far
       // smaller than their 1 KB signatures, so recomputing beats spilling
-      // ~1 KB/row of checkpoint blocks to executor disk. The pages table has
-      // no unique row id (urls repeat by design), so a deterministic one is
-      // synthesized from (url, warc_ts) — near-dup dedup elects winners per
-      // id, and duplicate ids would silently drop the id_a < id_b pairs.
+      // ~1 KB/row of checkpoint blocks to executor disk.
       case "dedup-minhash" =>
         val Array(_, in, out) = args.take(3)
         val threshold = if (args.length > 3) args(3).toDouble else 0.8
-        val pages = PagesTable.readFrom(spark, in).withColumn("_rid",
-          org.apache.spark.sql.functions.xxhash64(
-            org.apache.spark.sql.functions.col("url"),
-            org.apache.spark.sql.functions.col("warc_ts")))
+        val pages = pagesWithUniqueRid(spark, in)
         Dedup.minHashDedup(pages, "_rid", "text", threshold, cacheSignatures = false)
           .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("kept"))

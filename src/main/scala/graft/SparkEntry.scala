@@ -408,7 +408,7 @@ object SparkEntry {
         "feat AS (SELECT doc_id, text, len(words) AS n_words, " +
         "length(regexp_replace(text, '[^\\p{L}]', '', 'g'))::DOUBLE / greatest(n_chars::DOUBLE, 1.0) AS alpha_ratio, " +
         "length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(n_chars::DOUBLE, 1.0) AS digit_ratio, " +
-        "length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE / greatest(n_chars::DOUBLE, 1.0) AS punct_ratio, " +
+        "length(regexp_replace(text, '[\\p{L}\\p{N}\\t\\n\\x0b\\f\\r ]', '', 'g'))::DOUBLE / greatest(n_chars::DOUBLE, 1.0) AS punct_ratio, " +
         "len(list_distinct(words))::DOUBLE / greatest(len(words)::DOUBLE, 1.0) AS uniq_ratio FROM base), " +
         "scored AS (SELECT doc_id, text, " +
         "round(least(n_words::DOUBLE / 20.0, 1.0) * 0.25 + alpha_ratio * 0.25 + " +
@@ -429,7 +429,7 @@ object SparkEntry {
         "len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) AS jaccard " +
         "FROM sh a, sh b WHERE a.doc_id < b.doc_id"),
     "q_text_stats" ->
-      "SELECT doc_id, LENGTH(text) AS n_chars, len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS tok_ws FROM documents",
+      "SELECT doc_id, LENGTH(text) AS n_chars, len(list_filter(regexp_split_to_array(text, '[\\t\\n\\x0b\\f\\r ]+'), x -> len(x) > 0)) AS tok_ws FROM documents",
     // exact twin of langId + qualityScore + tokenCountBpeish: identical
     // regexp classes (RE2's \p{L} == Java's), identical double-arithmetic
     // order pre-round, BPE-ish tokens re-expressed as maximal letter-runs +
@@ -442,7 +442,7 @@ object SparkEntry {
         s"list_max([$langIdStructsSql]) AS best, " +
         "length(regexp_replace(text, '[^\\p{L}]', '', 'g'))::DOUBLE / greatest(n_chars::DOUBLE, 1.0) AS alpha_ratio, " +
         "length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(n_chars::DOUBLE, 1.0) AS digit_ratio, " +
-        "length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE / greatest(n_chars::DOUBLE, 1.0) AS punct_ratio, " +
+        "length(regexp_replace(text, '[\\p{L}\\p{N}\\t\\n\\x0b\\f\\r ]', '', 'g'))::DOUBLE / greatest(n_chars::DOUBLE, 1.0) AS punct_ratio, " +
         "len(list_distinct(words))::DOUBLE / greatest(len(words)::DOUBLE, 1.0) AS uniq_ratio FROM base) " +
         "SELECT doc_id, " +
         "CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred, " +
@@ -450,7 +450,7 @@ object SparkEntry {
         "(1.0 - least(digit_ratio * 4.0, 1.0)) * 0.15 + " +
         "(1.0 - least(punct_ratio * 4.0, 1.0)) * 0.15 + " +
         "uniq_ratio * 0.20, 4) AS quality, " +
-        "(len(regexp_extract_all(text, '\\p{L}+')) + len(regexp_extract_all(text, '[^\\p{L}\\s]+')) " +
+        "(len(regexp_extract_all(text, '\\p{L}+')) + len(regexp_extract_all(text, '[^\\p{L}\\t\\n\\x0b\\f\\r ]+')) " +
         "+ length(regexp_replace(text, '[^\\p{L}]', '', 'g')) // 8)::BIGINT AS tok_bpeish " +
         "FROM feat"),
     "q_ann_topk_bruteforce" ->

@@ -3,7 +3,6 @@ package graft.ops
 import graft.functions._
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for training-data pipelines, at three exactness
@@ -43,9 +42,14 @@ object Dedup {
       .select(wyhash64(col(textCol)).as("__g_h"), col(idCol).as("__g_id"))
       .groupBy(col("__g_h"))
       .agg(min(col("__g_id")).as("__g_id"))
+    // Null-safe id equality: a text group whose ids are ALL null elects a
+    // null winner, and plain === would match nothing — silently losing the
+    // text from the output. With <=> such rows all survive instead (null ids
+    // already violate the uniqueness contract; keeping duplicates is the
+    // safe failure mode, losing data is not).
     df.join(
       winners,
-      df(idCol) === winners("__g_id") && (wyhash64(df(textCol)) <=> winners("__g_h")),
+      (df(idCol) <=> winners("__g_id")) && (wyhash64(df(textCol)) <=> winners("__g_h")),
       "left_semi")
   }
 
@@ -151,7 +155,9 @@ object Dedup {
     *     (memory, spilling to local disk). Right when documents are larger
     *     than their signatures (real web pages).
     *   - `false`: signatures are recomputed per consumer — zero storage,
-    *     ~2x signature CPU. Right when documents are SMALLER than their
+    *     ~3-4x signature CPU (the banding join, its bucket-size count, and
+    *     the two candidate rejoins each re-derive the frame unless Catalyst
+    *     reuses an exchange). Right when documents are SMALLER than their
     *     1 KB signatures or executor disk is tight (found the hard way: a
     *     64M-row short-doc soak spilled ~70 GB of checkpointed signatures
     *     and filled the disk).
@@ -233,11 +239,13 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id")))
             .as("cluster_id"))
       // pointer jump: adopt the label of the current label (path halving).
-      // `hopped` feeds the join twice, so materialize it first; then truncate
-      // the running frame's lineage every round — without the checkpoints the
-      // logical plan doubles per iteration and Catalyst re-analyzes the whole
-      // chain each time (driver-side blow-up for deep iteration counts).
-      val jumped = hopped.localCheckpoint()
+      // `hopped` feeds the join twice, so checkpoint it (computed once at
+      // first use); then truncate the running frame's lineage every round —
+      // without the checkpoints the logical plan doubles per iteration and
+      // Catalyst re-analyzes the whole chain each time (driver-side blow-up
+      // for deep iteration counts). eager=false keeps this function a lazy
+      // plan builder: no Spark jobs run until the caller acts on the result.
+      val jumped = hopped.localCheckpoint(eager = false)
       val parents = jumped.select(
         col("_id").as("_pid"), col("cluster_id").as("_plabel"))
       labels = jumped
@@ -245,7 +253,7 @@ object Dedup {
         .select(col("_id"),
           least(col("cluster_id"), coalesce(col("_plabel"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       i += 1
     }
     labels.select(col("_id").as(idCol), col("cluster_id"))

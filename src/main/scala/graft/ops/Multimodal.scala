@@ -63,12 +63,17 @@ object Multimodal {
         val (w, h) = (img.getWidth, img.getHeight)
         val channels = img.getColorModel.getNumComponents
         val format = sniffFormat(bytes)
+        // bulk row reads: per-pixel getRGB pays the ColorModel indirection
+        // per call (~10-50x slower on the TYPE_3BYTE_BGR rasters JPEG/PNG
+        // decode to); one scanline buffer keeps memory flat for huge images
+        val rowBuf = new Array[Int](w)
         var sum = 0.0
         var y = 0
         while (y < h) {
+          img.getRGB(0, y, w, 1, rowBuf, 0, w)
           var x = 0
           while (x < w) {
-            val rgb = img.getRGB(x, y)
+            val rgb = rowBuf(x)
             sum += (((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) + (rgb & 0xff)) / 3.0
             x += 1
           }
@@ -163,21 +168,26 @@ object Multimodal {
     * computed column; batches of `batchSize` rows mimic Arrow record batches
     * (decoder/model setup amortizes per batch).
     */
-  private def appendBatched(df: DataFrame, binCol: String, outField: StructField,
-      batchSize: Int)(f: Array[Byte] => Any): DataFrame = {
+  private def appendBatchedRows(df: DataFrame, outField: StructField,
+      batchSize: Int)(f: Row => Any): DataFrame = {
     val outSchema = StructType(df.schema :+ outField)
-    val binIdx = df.schema.fieldIndex(binCol)
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // per-batch setup would go here (codec/model init)
-        batch.iterator.map { row =>
-          val bytes = row.getAs[Array[Byte]](binIdx)
-          val out = if (bytes == null) null else f(bytes)
-          Row.fromSeq(row.toSeq :+ out)
-        }
+        batch.iterator.map(row => Row.fromSeq(row.toSeq :+ f(row)))
       }
+    }
+  }
+
+  /** appendBatchedRows specialized to a nullable binary input column. */
+  private def appendBatched(df: DataFrame, binCol: String, outField: StructField,
+      batchSize: Int)(f: Array[Byte] => Any): DataFrame = {
+    val binIdx = df.schema.fieldIndex(binCol)
+    appendBatchedRows(df, outField, batchSize) { row =>
+      val bytes = row.getAs[Array[Byte]](binIdx)
+      if (bytes == null) null else f(bytes)
     }
   }
 
@@ -236,17 +246,9 @@ object Multimodal {
   /** Appends a real PNG test-card blob per row of `idCol` (see renderTestCard). */
   def renderTestCards(df: DataFrame, idCol: String, outCol: String = "blob",
       batchSize: Int = DefaultBatchSize): DataFrame = {
-    val outSchema = StructType(df.schema :+ StructField(outCol, BinaryType))
     val idIdx = df.schema.fieldIndex(idCol)
-    implicit val enc: org.apache.spark.sql.Encoder[Row] =
-      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    df.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { row =>
-          Row.fromSeq(row.toSeq :+ renderTestCard(row.getLong(idIdx)))
-        }
-      }
-    }
+    appendBatchedRows(df, StructField(outCol, BinaryType), batchSize)(
+      row => renderTestCard(row.getLong(idIdx)))
   }
 
   /** Pure-column feature extraction that needs no codec at all: byte length +

@@ -19,7 +19,7 @@ class TextAnalysisSpec extends AnyFunSuite {
     "a", "Z", "é", "ß", "Ж", "я", "×", "÷", "Ø", "þ",
     "0", "9", "٣", "Ⅻ", "½", // arabic-indic digit, roman numeral (Nl), fraction (No)
     ".", ",", "!", "#", "$", "-", "_", "\"",
-    " ", "\t", "\n", "\r", "", "\f",
+    " ", "\t", "\n", "\r", "\u000B", "\f", // vertical tab: Java \s member, NOT in RE2 \s
     "😀", // emoji (surrogate pair, category So)
     "中", "日", "ع", "ह")
 

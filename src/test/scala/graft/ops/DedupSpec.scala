@@ -54,6 +54,21 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.exactByContent(dupRecords, "text").count() == 1)
   }
 
+  test("exactByHash never loses a text whose ids are all null (null-safe election)") {
+    val df = Seq(
+      (Some(5L), "has id"), (None, "orphan text"), (None, "orphan text"),
+      (Some(9L), "has id")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactByHash(df, "doc_id", "text")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1))).toSet
+    // the all-null-id group survives (both copies — null ids violate the
+    // uniqueness contract, and keeping duplicates beats losing the text);
+    // groups with real ids still elect their min
+    assert(out == Set((5L, "has id"), (-1L, "orphan text")) ||
+      out.contains((-1L, "orphan text")), s"orphan text lost: $out")
+    assert(out.contains((5L, "has id")) && !out.contains((9L, "has id")))
+  }
+
   test("exactByHash keeps exactly one row among null texts") {
     val df = Seq((4L, null: String), (2L, null: String), (1L, "real text"))
       .toDF("doc_id", "text")
