@@ -68,6 +68,37 @@ object VecOps {
     java.lang.Double.valueOf(math.sqrt(acc))
   }
 
+  /** See HyperplaneBuckets: one pass over the decoded vector and the cached
+    * plane matrix. Wrong length / null elements -> all-zero buckets
+    * (mirroring the null-dot -> 0-bit behavior of the per-plane formulation).
+    */
+  def hyperplaneBuckets(a: ArrayData, planeMatrix: Array[Array[Double]], dim: Int,
+      planes: Int, tables: Int, aFloat: Boolean): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val out = new Array[Long](tables)
+    if (a.numElements() == dim) {
+      val v = new Array[Double](dim)
+      var ok = true
+      var i = 0
+      while (ok && i < dim) {
+        if (a.isNullAt(i)) ok = false
+        else v(i) = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        i += 1
+      }
+      if (ok) {
+        var g = 0
+        while (g < tables * planes) {
+          val pl = planeMatrix(g)
+          var acc = 0.0
+          var j = 0
+          while (j < dim) { acc += v(j) * pl(j); j += 1 }
+          if (acc >= 0) out(g / planes) |= 1L << (g % planes)
+          g += 1
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** See VecEqFraction. Boxed so null can signal the empty-left case. */
   def eqFraction(a: ArrayData, b: ArrayData): java.lang.Double = {
     val denom = a.numElements()
@@ -87,6 +118,67 @@ object VecOps {
     case ArrayType(DoubleType, _) => Some(false)
     case _ => None
   }
+}
+
+/** All `tables` hyperplane-LSH sign-bucket keys of a vector in ONE pass:
+  * the vector is decoded to doubles once and multiplied through a cached
+  * `tables x planes` plane matrix (the same deterministic wyhash-derived
+  * planes as `Similarity.hyperplaneBucket`, bit-identical bucket values) —
+  * where the column-algebra formulation evaluated `tables x planes`
+  * independent dot-product expressions per row, each re-reading the vector
+  * and re-materializing its plane literal.
+  *
+  * Mirrors the old null semantics: a null vector is NULL; a wrong-length
+  * vector or a null element yields all-zero buckets (the old per-plane dots
+  * went null and every sign bit fell to its 0 branch).
+  */
+case class HyperplaneBuckets(child: Expression, dim: Int, planes: Int, tables: Int)
+  extends UnaryExpression {
+  require(planes >= 1 && planes <= 63, s"planes must be in [1..63], got $planes")
+  require(tables >= 1, s"tables must be >= 1, got $tables")
+
+  @transient private lazy val planeMatrix: Array[Array[Double]] =
+    Array.tabulate(tables * planes)(g => HyperplaneBuckets.plane(g, dim))
+  private def cFloat = VecOps.isVec(child.dataType).get
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecOps.isVec(child.dataType) match {
+      case Some(_) => TypeCheckResult.TypeCheckSuccess
+      case None => TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_buckets expects an array<float|double> column, got " +
+          child.dataType.catalogString)
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecOps.hyperplaneBuckets(input.asInstanceOf[ArrayData], planeMatrix, dim,
+      planes, tables, cFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("planeMatrix", planeMatrix, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.sql.VecOps.hyperplaneBuckets($c, $mat, $dim, $planes, $tables, $cFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+  override def prettyName: String = "hyperplane_buckets"
+}
+
+object HyperplaneBuckets {
+  /** Deterministic pseudo-random hyperplane `globalIdx`: component j is a
+    * standard-normal-ish value derived from wyhash (sum of two uniform
+    * halves, variance-matched — plenty for LSH). This is THE definition;
+    * Similarity.hyperplaneBucket delegates here so column-algebra and
+    * kernel buckets are bit-identical.
+    */
+  def plane(globalIdx: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      val h = graft.core.WyHash.hashLong(globalIdx.toLong << 32 | j.toLong)
+      val u1 = ((h >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+      val u2 = (((h * graft.core.WyHash.P1) >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+      (u1 + u2) * math.sqrt(6.0)
+    }
 }
 
 /** Fraction of positionally-equal slots of two array<bigint> columns — the

@@ -134,6 +134,12 @@ object functions {
     */
   def vec_eq_fraction(a: Column, b: Column): Column = toCol(VecEqFraction(ex(a), ex(b)))
 
+  /** Scalar: all `tables` hyperplane-LSH bucket keys of a vector in one
+    * codegen'd pass (array<bigint> of length `tables`).
+    */
+  def hyperplane_buckets(vec: Column, dim: Int, planes: Int, tables: Int): Column =
+    toCol(HyperplaneBuckets(ex(vec), dim, planes, tables))
+
   // ---------------------------------------------------------------------
   // SQL registration
   // ---------------------------------------------------------------------
@@ -252,6 +258,10 @@ object functions {
     "vec_dot" -> { args => VecDot(args(0), args(1)) },
     "vec_norm" -> { args => VecNorm(args.head) },
     "vec_eq_fraction" -> { args => VecEqFraction(args(0), args(1)) },
+    "hyperplane_buckets" -> { args =>
+      HyperplaneBuckets(args(0), intArg(args(1), "dim"), intArg(args(2), "planes"),
+        intArg(args(3), "tables"))
+    },
     "bloom_merge" -> { args => SketchUnionAgg(args.head, "bloom").toAggregateExpression() },
     "cms_merge" -> { args => SketchUnionAgg(args.head, "cms").toAggregateExpression() },
     "tdigest_merge" -> { args => SketchUnionAgg(args.head, "tdigest").toAggregateExpression() },

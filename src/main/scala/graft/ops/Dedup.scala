@@ -314,14 +314,14 @@ object Dedup {
       threshold: Double = 0.95,
       planes: Int = 10,
       tables: Int = 6): DataFrame = {
-    // norms once per row before the self-join, never per candidate pair
+    // norms once per row before the self-join, never per candidate pair;
+    // all table buckets from one kernel pass (posexplode: pos = table)
     val banded = df.select(
       col(idCol).as("_id"), col(vecCol).as("_v"),
       Similarity.norm(col(vecCol)).as("_n"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"),
-          Similarity.hyperplaneBucket(col(vecCol), dim, planes, t).as("b"))): _*))
-        .as("_bucket"))
+      posexplode(hyperplane_buckets(col(vecCol), dim, planes, tables)))
+      .select(col("_id"), col("_v"), col("_n"),
+        struct(col("pos").as("t"), col("col").as("b")).as("_bucket"))
     val a = banded.select(col("_bucket"), col("_id").as("id_a"),
       col("_v").as("_va"), col("_n").as("_na"))
     val b = banded.select(col("_bucket"), col("_id").as("id_b"),

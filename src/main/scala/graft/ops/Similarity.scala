@@ -1,7 +1,5 @@
 package graft.ops
 
-import graft.core.WyHash
-
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -66,24 +64,17 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplanes: component j of plane p is a
-    * standard-normal-ish value derived from wyhash(p, j) (sum of two uniform
-    * halves, variance-matched — plenty for LSH).
-    */
-  private def hyperplane(plane: Int, dim: Int): Seq[Double] =
-    (0 until dim).map { j =>
-      val h = WyHash.hashLong(plane.toLong << 32 | j.toLong)
-      val u1 = ((h >>> 11).toDouble / (1L << 53).toDouble) - 0.5
-      val u2 = (((h * WyHash.P1) >>> 11).toDouble / (1L << 53).toDouble) - 0.5
-      (u1 + u2) * math.sqrt(6.0)
-    }
-
   /** Sign-bucket key: `planes`-bit integer of dot-product signs for one LSH
-    * table (offset selects independent plane sets).
+    * table (offset selects independent plane sets). Deterministic
+    * wyhash-derived planes — THE definition lives in
+    * graft.sql.HyperplaneBuckets.plane; this column-algebra form is kept for
+    * single-table use and as the independent formulation the kernel is
+    * property-tested against.
     */
   def hyperplaneBucket(vec: Column, dim: Int, planes: Int, tableOffset: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
-      val plane = typedLit(hyperplane(tableOffset * planes + p, dim))
+      val plane = typedLit(
+        graft.sql.HyperplaneBuckets.plane(tableOffset * planes + p, dim).toSeq)
       when(dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -105,18 +96,19 @@ object Similarity {
       dim: Int,
       planes: Int = 12,
       tables: Int = 4): DataFrame = {
+    // all table buckets in one kernel pass per row (posexplode: pos = table)
     val corpusBuckets = corpus.select(
       col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv"),
       norm(col(corpusVec)).as("_cn"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"),
-          hyperplaneBucket(col(corpusVec), dim, planes, t).as("b"))): _*)).as("_bucket"))
+      posexplode(graft.functions.hyperplane_buckets(col(corpusVec), dim, planes, tables)))
+      .select(col("neighbor_id"), col("_cv"), col("_cn"),
+        struct(col("pos").as("t"), col("col").as("b")).as("_bucket"))
     val queryBuckets = queries.select(
       col(queryId).as("query_id"), col(queryVec).as("_qv"),
       norm(col(queryVec)).as("_qn"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"),
-          hyperplaneBucket(col(queryVec), dim, planes, t).as("b"))): _*)).as("_bucket"))
+      posexplode(graft.functions.hyperplane_buckets(col(queryVec), dim, planes, tables)))
+      .select(col("query_id"), col("_qv"), col("_qn"),
+        struct(col("pos").as("t"), col("col").as("b")).as("_bucket"))
     val denom = col("_qn") * col("_cn")
     val candidates = corpusBuckets.join(broadcast(queryBuckets), Seq("_bucket"))
       .select(col("query_id"), col("neighbor_id"),

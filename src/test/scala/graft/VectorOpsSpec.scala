@@ -91,6 +91,21 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(empty.select(vec_eq_fraction($"a", $"b")).collect()(0).isNullAt(0))
   }
 
+  test("hyperplane_buckets kernel == per-table column-algebra buckets, bit for bit") {
+    val dim = 32
+    val vecs = randFloats(150, 5).map(a => java.util.Arrays.copyOf(a, dim)).toDF("v")
+    val kernel = hyperplane_buckets($"v", dim, planes = 8, tables = 5)
+    val perTable = array((0 until 5).map(t =>
+      graft.ops.Similarity.hyperplaneBucket($"v", dim, 8, t)): _*)
+    val bad = vecs.select(kernel.as("n"), perTable.as("o"))
+      .filter($"n" =!= $"o").collect()
+    assert(bad.isEmpty, s"divergent buckets: ${bad.take(3).mkString(";")}")
+    // wrong-length vector -> all-zero buckets (the old null-dot behavior)
+    val short = Seq(Array(1.0f, 2.0f)).toDF("v")
+      .select(hyperplane_buckets($"v", dim, 8, 5)).collect()(0).getSeq[Long](0)
+    assert(short == Seq(0L, 0L, 0L, 0L, 0L))
+  }
+
   test("kernels are codegen-capable (no CodegenFallback)") {
     val fallback = classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
     assert(!fallback.isAssignableFrom(classOf[graft.sql.VecDot]))
