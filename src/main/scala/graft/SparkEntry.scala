@@ -308,6 +308,20 @@ object SparkEntry {
         .select(col("lang"), col("source"), col("distinct_count"), col("rows_scanned"))
     }),
 
+    // IVF ANN (approximate; rows-only check): deterministic k-means coarse
+    // quantizer trained on a corpus sample, cell-bucketed search with
+    // exact-cosine re-rank — the second scale path next to LSH
+    "q_ann_topk_ivf" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val centroids = graft.ops.Similarity.trainIvfCentroids(
+        emb, "embedding", k = 16, sampleSize = 2000)
+      graft.ops.Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 3, centroids, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+
     // multimodal REAL image decode, driven end-to-end: deterministic
     // solid-gray PNG test cards are rendered per doc_id (real ImageIO
     // encode), decoded by the real javax.imageio reader in the batched

@@ -99,6 +99,52 @@ object VecOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** See NearestCentroids: top-nProbe centroid indices by dot product,
+    * best first, ties broken toward the lower index. Wrong length / null
+    * elements -> empty array.
+    */
+  def nearestCentroids(a: ArrayData, centroids: Array[Array[Double]], dim: Int,
+      nProbe: Int, aFloat: Boolean): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (a.numElements() != dim)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Int])
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (a.isNullAt(i))
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Int])
+      v(i) = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    val k = centroids.length
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val ctr = centroids(c)
+      var acc = 0.0
+      var j = 0
+      while (j < dim) { acc += v(j) * ctr(j); j += 1 }
+      scores(c) = acc
+      c += 1
+    }
+    // selection of the nProbe best (k is small; O(k * nProbe) is fine)
+    val out = new Array[Int](nProbe)
+    val taken = new Array[Boolean](k)
+    var p = 0
+    while (p < nProbe) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var c2 = 0
+      while (c2 < k) {
+        if (!taken(c2) && scores(c2) > bestScore) { best = c2; bestScore = scores(c2) }
+        c2 += 1
+      }
+      taken(best) = true
+      out(p) = best
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** See VecEqFraction. Boxed so null can signal the empty-left case. */
   def eqFraction(a: ArrayData, b: ArrayData): java.lang.Double = {
     val denom = a.numElements()
@@ -179,6 +225,48 @@ object HyperplaneBuckets {
       val u2 = (((h * graft.core.WyHash.P1) >>> 11).toDouble / (1L << 53).toDouble) - 0.5
       (u1 + u2) * math.sqrt(6.0)
     }
+}
+
+/** The `nProbe` nearest centroids of a vector by dot product (IVF coarse
+  * quantization), as an array<int> of centroid indices, best first. One
+  * codegen'd pass: the vector is decoded once and multiplied through the
+  * cached centroid matrix. Pass L2-normalized centroids to rank by cosine
+  * (the per-row vector's own norm is a constant factor in argmax).
+  *
+  * A wrong-length vector or a null element yields an EMPTY array (the row
+  * simply lands in no cell — bad vectors are data at corpus scale).
+  */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
+    nProbe: Int) extends UnaryExpression {
+  require(centroids.nonEmpty, "centroids must be non-empty")
+  require(nProbe >= 1 && nProbe <= centroids.length,
+    s"nProbe must be in [1..${centroids.length}], got $nProbe")
+
+  private def cFloat = VecOps.isVec(child.dataType).get
+  private def dim = centroids(0).length
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecOps.isVec(child.dataType) match {
+      case Some(_) => TypeCheckResult.TypeCheckSuccess
+      case None => TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroids expects an array<float|double> column, got " +
+          child.dataType.catalogString)
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecOps.nearestCentroids(input.asInstanceOf[ArrayData], centroids, dim,
+      nProbe, cFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.sql.VecOps.nearestCentroids($c, $mat, $dim, $nProbe, $cFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_centroids"
 }
 
 /** Fraction of positionally-equal slots of two array<bigint> columns — the

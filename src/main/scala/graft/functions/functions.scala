@@ -140,6 +140,12 @@ object functions {
   def hyperplane_buckets(vec: Column, dim: Int, planes: Int, tables: Int): Column =
     toCol(HyperplaneBuckets(ex(vec), dim, planes, tables))
 
+  /** Scalar: the nProbe nearest centroid indices by dot product (IVF coarse
+    * quantization; pass normalized centroids for cosine ranking).
+    */
+  def nearest_centroids(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    toCol(NearestCentroids(ex(vec), centroids, nProbe))
+
   // ---------------------------------------------------------------------
   // SQL registration
   // ---------------------------------------------------------------------

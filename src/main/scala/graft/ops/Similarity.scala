@@ -80,6 +80,136 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Deterministic IVF coarse quantizer: k-means (k-means++ init, Lloyd
+    * iterations, cosine geometry — all vectors and centroids L2-normalized)
+    * trained on a driver-collected sample, exactly the standard IVF train
+    * step. Deterministic: fixed-seed RNG over a deterministic sample
+    * (`limit` reads the first rows of the corpus in file order).
+    * Returns normalized centroids for [[ivfTopK]] / `nearest_centroids`.
+    */
+  def trainIvfCentroids(
+      corpus: DataFrame,
+      vecCol: String,
+      k: Int,
+      sampleSize: Int = 10000,
+      iterations: Int = 10,
+      seed: Long = 42L): Array[Array[Double]] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sample: Array[Array[Double]] = corpus.select(col(vecCol)).limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+      .map(normalize)
+      .filter(_ != null)
+    require(sample.length >= k, s"sample (${sample.length}) smaller than k ($k)")
+    val rnd = new scala.util.Random(seed)
+    val dim = sample(0).length
+    // k-means++ seeding on the sample
+    val centroids = scala.collection.mutable.ArrayBuffer[Array[Double]](
+      sample(rnd.nextInt(sample.length)).clone())
+    while (centroids.length < k) {
+      val d2 = sample.map { s =>
+        val worst = centroids.map(c => 1.0 - dotArr(s, c)).min
+        math.max(worst, 0.0)
+      }
+      val total = d2.sum
+      if (total <= 0) centroids += sample(rnd.nextInt(sample.length)).clone()
+      else {
+        var target = rnd.nextDouble() * total
+        var i = 0
+        while (i < sample.length - 1 && target > d2(i)) { target -= d2(i); i += 1 }
+        centroids += sample(i).clone()
+      }
+    }
+    // Lloyd iterations (assign by max dot, mean, renormalize)
+    var cs = centroids.toArray
+    var it = 0
+    while (it < iterations) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { s =>
+        var best = 0
+        var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          val d = dotArr(s, cs(c))
+          if (d > bestDot) { best = c; bestDot = d }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += s(j); j += 1 }
+        counts(best) += 1
+      }
+      cs = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cs(c) // empty cell keeps its centroid
+        else {
+          val m = sums(c).map(_ / counts(c))
+          val n = normalize(m)
+          if (n == null) cs(c) else n
+        }
+      }
+      it += 1
+    }
+    cs
+  }
+
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(dotArr(v, v))
+    if (n == 0) null else v.map(_ / n)
+  }
+
+  /** ANN top-k via IVF: corpus rows live in their nearest-centroid cell
+    * (one kernel pass, one int per row); each query probes its `nProbe`
+    * nearest cells and re-ranks candidates by exact cosine. The standard
+    * recall/cost dial at corpus scale: recall rises with nProbe, cost with
+    * cell size (corpus/k rows per cell on average). Query side broadcasts;
+    * the corpus scans once and shuffles only (cell, id, vec, norm).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      centroids: Array[Array[Double]],
+      nProbe: Int = 4): DataFrame = {
+    val corpusCells = corpus.select(
+      col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv"),
+      norm(col(corpusVec)).as("_cn"),
+      // get() is 0-based and null-safe: a bad vector's empty cell array
+      // becomes a null cell (row dropped), not an ANSI array-index error
+      get(graft.functions.nearest_centroids(col(corpusVec), centroids, 1), lit(0))
+        .as("_cell"))
+      .filter(col("_cell").isNotNull)
+    val queryCells = queries.select(
+      col(queryId).as("query_id"), col(queryVec).as("_qv"),
+      norm(col(queryVec)).as("_qn"),
+      explode(graft.functions.nearest_centroids(col(queryVec), centroids, nProbe))
+        .as("_cell"))
+    val denom = col("_qn") * col("_cn")
+    val candidates = corpusCells.join(broadcast(queryCells), Seq("_cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(denom > 0, dot(col("_qv"), col("_cv")) / denom)
+          .otherwise(lit(0.0)).as("cosine"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cosine")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** ANN top-k via hyperplane LSH: `tables` independent sign-bucket tables
     * (multi-probe by union), exact cosine re-ranking within candidate
     * buckets. Recall rises with `tables`, cost with bucket size

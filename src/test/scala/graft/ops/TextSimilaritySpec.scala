@@ -130,4 +130,30 @@ class SimilaritySpec extends AnyFunSuite {
     val hits = (0 until 10).count(i => got.get(i.toLong).contains(i.toLong))
     assert(hits >= 8, s"LSH recall too low: $hits/10 ($got)")
   }
+
+  test("ivfTopK: deterministic centroids; nProbe cells recall the true top-1") {
+    val dim = 16
+    val corpus = (0 until 300).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
+    val queries = (0 until 10).map(i => (i.toLong, jitter(unitVec(dim, i), 0.02f, 500 + i)))
+      .toDF("qid", "qvec")
+    val centroids = Similarity.trainIvfCentroids(corpus, "vec", k = 12, sampleSize = 300)
+    // determinism: retraining on the same corpus gives identical centroids
+    val again = Similarity.trainIvfCentroids(corpus, "vec", k = 12, sampleSize = 300)
+    assert(centroids.zip(again).forall { case (a, b) => a.sameElements(b) },
+      "IVF training must be deterministic")
+    assert(centroids.forall(c =>
+      math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9), "centroids normalized")
+    val got = Similarity.ivfTopK(corpus, "id", "vec", queries, "qid", "qvec",
+      k = 1, centroids, nProbe = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0 until 10).count(i => got.get(i.toLong).contains(i.toLong))
+    assert(hits >= 8, s"IVF recall too low: $hits/10 ($got)")
+    // full probe (nProbe = k) degenerates to exact brute force
+    val full = Similarity.ivfTopK(corpus, "id", "vec", queries, "qid", "qvec",
+      k = 1, centroids, nProbe = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = Similarity.bruteForceTopK(corpus, "id", "vec", queries, "qid", "qvec", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == brute, s"nProbe=k must equal brute force: $full vs $brute")
+  }
 }
