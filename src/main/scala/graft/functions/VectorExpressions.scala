@@ -105,14 +105,17 @@ object VecOps {
     */
   def nearestCentroids(a: ArrayData, centroids: Array[Array[Double]], dim: Int,
       nProbe: Int, aFloat: Boolean): org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    if (a.numElements() != dim)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Int])
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Int])
+    if (a.numElements() != dim) return empty
     val v = new Array[Double](dim)
     var i = 0
     while (i < dim) {
-      if (a.isNullAt(i))
-        return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Int])
-      v(i) = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      if (a.isNullAt(i)) return empty
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      // NaN poisons every score (all comparisons false -> no argmax exists);
+      // treat NaN like the other bad-vector shapes: no cells
+      if (java.lang.Double.isNaN(x)) return empty
+      v(i) = x
       i += 1
     }
     val k = centroids.length
@@ -138,6 +141,11 @@ object VecOps {
         if (!taken(c2) && scores(c2) > bestScore) { best = c2; bestScore = scores(c2) }
         c2 += 1
       }
+      // unreachable after the NaN input guard unless Inf*0 produced NaN
+      // scores everywhere; degrade to "no cells" rather than crash
+      if (best < 0)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          java.util.Arrays.copyOf(out, p))
       taken(best) = true
       out(p) = best
       p += 1
@@ -174,9 +182,12 @@ object VecOps {
   * independent dot-product expressions per row, each re-reading the vector
   * and re-materializing its plane literal.
   *
-  * Mirrors the old null semantics: a null vector is NULL; a wrong-length
-  * vector or a null element yields all-zero buckets (the old per-plane dots
-  * went null and every sign bit fell to its 0 branch).
+  * A wrong-length vector or a null element yields all-zero buckets exactly
+  * like the per-plane formulation (its null dots fell to the 0-bit branch).
+  * A NULL vector yields NULL — a deliberate change from the per-plane form,
+  * which summed the 0 branches into bucket 0 of every table and thereby
+  * lumped all null-vector rows into one hot candidate bucket; exploding
+  * NULL drops such rows from LSH banding instead.
   */
 case class HyperplaneBuckets(child: Expression, dim: Int, planes: Int, tables: Int)
   extends UnaryExpression {

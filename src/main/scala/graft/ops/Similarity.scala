@@ -83,8 +83,20 @@ object Similarity {
   /** Deterministic IVF coarse quantizer: k-means (k-means++ init, Lloyd
     * iterations, cosine geometry — all vectors and centroids L2-normalized)
     * trained on a driver-collected sample, exactly the standard IVF train
-    * step. Deterministic: fixed-seed RNG over a deterministic sample
-    * (`limit` reads the first rows of the corpus in file order).
+    * step.
+    *
+    * Determinism caveat: the fixed-seed RNG makes training a pure function
+    * of the SAMPLE, and `limit` returns a stable sample only when the
+    * corpus plan has deterministic row order (a plain file scan — the
+    * normal case). A corpus that went through a shuffle/join first should
+    * be persisted or sorted before training if reproducible centroids
+    * matter.
+    *
+    * Dirty rows (null vectors, null elements, NaN/Inf components, lengths
+    * differing from the first valid vector) are excluded from the sample —
+    * the serving-side kernels tolerate the same shapes, so train and serve
+    * agree on what counts as data.
+    *
     * Returns normalized centroids for [[ivfTopK]] / `nearest_centroids`.
     */
   def trainIvfCentroids(
@@ -95,33 +107,51 @@ object Similarity {
       iterations: Int = 10,
       seed: Long = 42L): Array[Array[Double]] = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val sample: Array[Array[Double]] = corpus.select(col(vecCol)).limit(sampleSize)
+    val raw: Array[Array[Double]] = corpus.select(col(vecCol))
+      .filter(col(vecCol).isNotNull).limit(sampleSize)
       .collect()
-      .map(_.getSeq[Any](0).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-      }.toArray)
-      .map(normalize)
-      .filter(_ != null)
-    require(sample.length >= k, s"sample (${sample.length}) smaller than k ($k)")
+      .flatMap { r =>
+        val seq = r.getSeq[Any](0)
+        if (seq == null || seq.contains(null)) None
+        else {
+          val arr = seq.map {
+            case f: Float => f.toDouble
+            case d: Double => d
+          }.toArray
+          if (arr.exists(x => x.isNaN || x.isInfinite)) None else Some(arr)
+        }
+      }
+    val dim = raw.headOption.map(_.length).getOrElse(0)
+    val sample = raw.filter(_.length == dim).map(normalize).filter(_ != null)
+    require(sample.length >= k, s"usable sample (${sample.length}) smaller than k ($k)")
     val rnd = new scala.util.Random(seed)
-    val dim = sample(0).length
-    // k-means++ seeding on the sample
+    // k-means++ seeding: running min-distance per point, refreshed against
+    // only the newest centroid (O(k n dim)), D^2 weighting
+    val minD = Array.fill(sample.length)(Double.PositiveInfinity)
+    def refresh(c: Array[Double]): Unit = {
+      var i = 0
+      while (i < sample.length) {
+        val d = math.max(1.0 - dotArr(sample(i), c), 0.0)
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
+    }
     val centroids = scala.collection.mutable.ArrayBuffer[Array[Double]](
       sample(rnd.nextInt(sample.length)).clone())
+    refresh(centroids(0))
     while (centroids.length < k) {
-      val d2 = sample.map { s =>
-        val worst = centroids.map(c => 1.0 - dotArr(s, c)).min
-        math.max(worst, 0.0)
-      }
-      val total = d2.sum
-      if (total <= 0) centroids += sample(rnd.nextInt(sample.length)).clone()
-      else {
-        var target = rnd.nextDouble() * total
-        var i = 0
-        while (i < sample.length - 1 && target > d2(i)) { target -= d2(i); i += 1 }
-        centroids += sample(i).clone()
-      }
+      val w = minD.map(d => d * d)
+      val total = w.sum
+      val pick =
+        if (total <= 0) sample(rnd.nextInt(sample.length))
+        else {
+          var target = rnd.nextDouble() * total
+          var i = 0
+          while (i < sample.length - 1 && target > w(i)) { target -= w(i); i += 1 }
+          sample(i)
+        }
+      centroids += pick.clone()
+      refresh(pick)
     }
     // Lloyd iterations (assign by max dot, mean, renormalize)
     var cs = centroids.toArray
@@ -198,12 +228,13 @@ object Similarity {
       explode(graft.functions.nearest_centroids(col(queryVec), centroids, nProbe))
         .as("_cell"))
     val denom = col("_qn") * col("_cn")
+    // no (query, neighbor) dedup needed: each corpus row lives in exactly
+    // ONE cell and a query's probed cells are distinct, so a pair can join
+    // at most once — unlike lshTopK's multi-table collisions
     val candidates = corpusCells.join(broadcast(queryCells), Seq("_cell"))
       .select(col("query_id"), col("neighbor_id"),
         when(denom > 0, dot(col("_qv"), col("_cv")) / denom)
           .otherwise(lit(0.0)).as("cosine"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(max(col("cosine")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     candidates.withColumn("rank", row_number().over(w))
