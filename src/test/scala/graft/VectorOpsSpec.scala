@@ -106,6 +106,19 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(short == Seq(0L, 0L, 0L, 0L, 0L))
   }
 
+  test("nearest_centroids: NaN / wrong-length / null-element vectors land in no cell") {
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val df = Seq(
+      (1L, Array(Float.NaN, 1.0f)),
+      (2L, Array(1.0f)), // wrong length
+      (3L, Array(0.9f, 0.1f)) // healthy
+    ).toDF("id", "v")
+    val cells = df.select($"id", nearest_centroids($"v", centroids, 1).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(cells(1L).isEmpty && cells(2L).isEmpty, s"bad vectors must get no cells: $cells")
+    assert(cells(3L) == Seq(0))
+  }
+
   test("kernels are codegen-capable (no CodegenFallback)") {
     val fallback = classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
     assert(!fallback.isAssignableFrom(classOf[graft.sql.VecDot]))
