@@ -94,6 +94,28 @@ object SparkEntry {
         .groupBy(col("c_nationkey"))
         .agg(ce_merge_estimate(col("sk")).as("distinct_custkeys"))),
 
+    // grouping sets drop out of the Catalyst aggregate for free (SURVEY §2.2):
+    // CUBE over (event_type, day) with the sketch as the measure — exact mode
+    // because <= 16 distinct user buckets exist in EVERY cube group including
+    // the grand total; grouping() indicators disambiguate subtotal NULLs
+    "q_ce_cube_type_day" -> ((s, dir) =>
+      read(s, dir, "events")
+        .select(col("event_type"), date_trunc("DAY", col("ts")).as("day_ts"),
+          pmod(col("user_id"), lit(16)).as("user_bucket"))
+        .cube(col("event_type"), col("day_ts"))
+        .agg(ce_approx_distinct(col("user_bucket")).as("distinct_user_buckets"),
+          grouping(col("event_type")).cast("long").as("g_type"),
+          grouping(col("day_ts")).cast("long").as("g_day"))),
+
+    // ROLLUP flavor on the documents table: per-(lang, source) / per-lang /
+    // grand-total distinct sources (<= 128 everywhere -> exact mode)
+    "q_ce_rollup_docs" -> ((s, dir) =>
+      read(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(ce_approx_distinct(col("source")).as("distinct_sources"),
+          grouping(col("lang")).cast("long").as("g_lang"),
+          grouping(col("source")).cast("long").as("g_source"))),
+
     // ----- HLL-mode queries (approximate; rows-only driver check) -----
     "q_ce_orderkeys_per_flag" -> ((s, dir) =>
       read(s, dir, "lineitem")
@@ -216,8 +238,9 @@ object SparkEntry {
         .filter((size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
           size(array_union(col("a.s"), col("b.s"))).cast("double")) >= 0.7)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      graft.ops.Dedup.nearDupClusters(docs.select(col("doc_id")), "doc_id", pairs,
-        iterations = 4)
+      // converge = true (default): eager rounds with a fixpoint early-stop —
+      // chain length no longer bounded by a fixed round budget
+      graft.ops.Dedup.nearDupClusters(docs.select(col("doc_id")), "doc_id", pairs)
     }),
 
     // embedding-cosine near-dup pairs via hyperplane LSH (approximate recall;
@@ -338,6 +361,52 @@ object SparkEntry {
           col("image_meta.mean_intensity").as("mean_intensity"))
     }),
 
+    // Structured Streaming through the driver gate: sketchPerKey over a file
+    // stream, ONE FILE PER MICRO-BATCH, with the streaming query STOPPED and
+    // RESTARTED from its checkpoint halfway through the input. The sketch
+    // state round-trips the state store between every batch and survives the
+    // restart through the checkpoint — both via the same serialized sketch
+    // wire format as batch shuffles — and the final estimates still match
+    // the exact COUNT(DISTINCT) oracle (exact mode: <= 16 buckets/key).
+    "q_stream_sketch_restore" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+      val inDir = s"$base/in"
+      val ckpt = s"$base/ckpt"
+      val events = read(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          pmod(col("user_id"), lit(16)).as("user_bucket"))
+      // disjoint halves: 2 files now, 2 more between the two runs
+      events.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("event_type"), col("user_bucket"))
+        .repartition(2).write.parquet(inDir)
+      def runToCompletion(): Unit = {
+        val stream = s.readStream
+          .schema("event_type STRING, user_bucket BIGINT")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir)
+        val agg = graft.streaming.SketchStreams.sketchPerKey(
+          stream, Seq("event_type"), "user_bucket")
+        val q = agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName("graft_stream_restore")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runToCompletion() // first half, one file per batch
+      events.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("event_type"), col("user_bucket"))
+        .repartition(2).write.mode("append").parquet(inDir)
+      runToCompletion() // restart from checkpoint, merge in the second half
+      s.table("graft_stream_restore")
+        .select(col("event_type"),
+          col("approx_distinct").as("distinct_user_buckets"),
+          ce_estimate(col("sketch")).as("distinct_from_sketch"))
+    }),
+
     // multimodal: binary blob features (decode stubs are exercised in sbt test)
     "q_multimodal_features" -> ((s, dir) =>
       graft.ops.Multimodal.binaryFeatures(
@@ -381,6 +450,24 @@ object SparkEntry {
       "SELECT ((user_id % 16) + 16) % 16 AS user_bucket, COUNT(DISTINCT event_type) AS distinct_types FROM events GROUP BY 1",
     "q_ce_reagg_docs_per_source" ->
       "SELECT source, COUNT(DISTINCT doc_id) AS distinct_docs FROM documents GROUP BY source",
+    // DuckDB's CUBE/ROLLUP produce the same grouping sets and GROUPING()
+    // indicators; subtotal keys are NULL on both sides
+    "q_ce_cube_type_day" ->
+      ("SELECT event_type, date_trunc('day', ts) AS day_ts, " +
+        "COUNT(DISTINCT ((user_id % 16) + 16) % 16) AS distinct_user_buckets, " +
+        "CAST(GROUPING(event_type) AS BIGINT) AS g_type, " +
+        "CAST(GROUPING(date_trunc('day', ts)) AS BIGINT) AS g_day " +
+        "FROM events GROUP BY CUBE (event_type, date_trunc('day', ts))"),
+    "q_ce_rollup_docs" ->
+      ("SELECT lang, source, COUNT(DISTINCT source) AS distinct_sources, " +
+        "CAST(GROUPING(lang) AS BIGINT) AS g_lang, " +
+        "CAST(GROUPING(source) AS BIGINT) AS g_source " +
+        "FROM documents GROUP BY ROLLUP (lang, source)"),
+    "q_stream_sketch_restore" ->
+      ("SELECT event_type, " +
+        "COUNT(DISTINCT ((user_id % 16) + 16) % 16) AS distinct_user_buckets, " +
+        "COUNT(DISTINCT ((user_id % 16) + 16) % 16) AS distinct_from_sketch " +
+        "FROM events GROUP BY event_type"),
     "q_ce_salted_custkey_per_nation" ->
       "SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS distinct_custkeys FROM customer GROUP BY c_nationkey",
     "q_ce_scalar_roundtrip" ->

@@ -69,55 +69,72 @@ object VecOps {
   }
 
   /** See HyperplaneBuckets: one pass over the decoded vector and the cached
-    * plane matrix. Wrong length / null elements -> all-zero buckets
-    * (mirroring the null-dot -> 0-bit behavior of the per-plane formulation).
+    * plane matrix. Dirty vectors (wrong length, null elements, non-finite
+    * components, all-zero) yield an EMPTY array so posexplode drops the row
+    * from LSH banding — the same no-cells policy as [[nearestCentroids]].
+    * (The previous all-zero-buckets behavior concentrated every dirty row
+    * into bucket (t, 0) of every table, and all-zero vectors into the
+    * all-ones bucket, making the bucket self-join quadratic in dirty rows.)
     */
   def hyperplaneBuckets(a: ArrayData, planeMatrix: Array[Array[Double]], dim: Int,
       planes: Int, tables: Int, aFloat: Boolean): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    if (a.numElements() != dim) return empty
+    val v = new Array[Double](dim)
+    var anyNonZero = false
+    var i = 0
+    while (i < dim) {
+      if (a.isNullAt(i)) return empty
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      // NaN signs are meaningless and Inf norms break downstream cosine;
+      // both count as dirty (no buckets), like nearest_centroids' NaN policy
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) return empty
+      if (x != 0.0) anyNonZero = true
+      v(i) = x
+      i += 1
+    }
+    // the zero vector has no direction: every sign test reads >= 0, so ALL
+    // zero vectors would share the all-ones bucket in every table
+    if (!anyNonZero) return empty
     val out = new Array[Long](tables)
-    if (a.numElements() == dim) {
-      val v = new Array[Double](dim)
-      var ok = true
-      var i = 0
-      while (ok && i < dim) {
-        if (a.isNullAt(i)) ok = false
-        else v(i) = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-        i += 1
-      }
-      if (ok) {
-        var g = 0
-        while (g < tables * planes) {
-          val pl = planeMatrix(g)
-          var acc = 0.0
-          var j = 0
-          while (j < dim) { acc += v(j) * pl(j); j += 1 }
-          if (acc >= 0) out(g / planes) |= 1L << (g % planes)
-          g += 1
-        }
-      }
+    var g = 0
+    while (g < tables * planes) {
+      val pl = planeMatrix(g)
+      var acc = 0.0
+      var j = 0
+      while (j < dim) { acc += v(j) * pl(j); j += 1 }
+      if (acc >= 0) out(g / planes) |= 1L << (g % planes)
+      g += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** See NearestCentroids: top-nProbe centroid indices by dot product,
-    * best first, ties broken toward the lower index. Wrong length / null
-    * elements -> empty array.
+    * best first, ties broken toward the lower index. Dirty vectors (wrong
+    * length, null elements, non-finite components, all-zero) -> empty array
+    * — the exact complement of [[graft.ops.Similarity.trainIvfCentroids]]'s
+    * sample filter, so train and serve agree on what counts as data. (The
+    * zero vector in particular scores 0 against every centroid and would
+    * otherwise concentrate ALL zero rows into cell 0 by tie-break.)
     */
   def nearestCentroids(a: ArrayData, centroids: Array[Array[Double]], dim: Int,
       nProbe: Int, aFloat: Boolean): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Int])
     if (a.numElements() != dim) return empty
     val v = new Array[Double](dim)
+    var anyNonZero = false
     var i = 0
     while (i < dim) {
       if (a.isNullAt(i)) return empty
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       // NaN poisons every score (all comparisons false -> no argmax exists);
-      // treat NaN like the other bad-vector shapes: no cells
-      if (java.lang.Double.isNaN(x)) return empty
+      // Inf breaks the downstream cosine — both count as dirty: no cells
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) return empty
+      if (x != 0.0) anyNonZero = true
       v(i) = x
       i += 1
     }
+    if (!anyNonZero) return empty
     val k = centroids.length
     val scores = new Array[Double](k)
     var c = 0
@@ -182,12 +199,15 @@ object VecOps {
   * independent dot-product expressions per row, each re-reading the vector
   * and re-materializing its plane literal.
   *
-  * A wrong-length vector or a null element yields all-zero buckets exactly
-  * like the per-plane formulation (its null dots fell to the 0-bit branch).
-  * A NULL vector yields NULL — a deliberate change from the per-plane form,
-  * which summed the 0 branches into bucket 0 of every table and thereby
-  * lumped all null-vector rows into one hot candidate bucket; exploding
-  * NULL drops such rows from LSH banding instead.
+  * Dirty inputs DROP from banding rather than concentrate: a NULL vector
+  * yields NULL, and a wrong-length / null-element / non-finite / all-zero
+  * vector yields an EMPTY array — (pos)explode produces no rows for either,
+  * so bad rows simply leave LSH. This deliberately diverges from the
+  * per-plane column-algebra form, whose null dots fell to the 0-bit branch
+  * and lumped every dirty row into bucket (t, 0) of every table (and all
+  * zero vectors into the all-ones bucket) — one hot bucket per table that
+  * turned the bucket self-join quadratic in the dirty-row count. At corpus
+  * scale dirty vectors are data; the policy matches NearestCentroids.
   */
 case class HyperplaneBuckets(child: Expression, dim: Int, planes: Int, tables: Int)
   extends UnaryExpression {
@@ -244,8 +264,9 @@ object HyperplaneBuckets {
   * cached centroid matrix. Pass L2-normalized centroids to rank by cosine
   * (the per-row vector's own norm is a constant factor in argmax).
   *
-  * A wrong-length vector or a null element yields an EMPTY array (the row
-  * simply lands in no cell — bad vectors are data at corpus scale).
+  * A wrong-length, null-element, non-finite, or all-zero vector yields an
+  * EMPTY array (the row simply lands in no cell — bad vectors are data at
+  * corpus scale, and train/serve agree on what counts as data).
   */
 case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
     nProbe: Int) extends UnaryExpression {

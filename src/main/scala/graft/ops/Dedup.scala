@@ -36,20 +36,32 @@ object Dedup {
     * and [[exactByContent]] (one aggregation, one scan) is ~1.6x faster —
     * prefer this shape when winners broadcast (modest distinct counts) or
     * when only the surviving ids are needed (use the election alone).
+    *
+    * "Exact" bound: texts are equated by (64-bit wyhash, length), never by
+    * full content — the whole point is that the text itself never shuffles.
+    * Two DIFFERENT texts of the same length colliding in wyhash64 would
+    * merge (expected collisions ~ n^2 / 2^65 per length class: ~0.03 across
+    * 10^9 same-length docs — negligible below ~10^10 rows of one length;
+    * compare-by-content at that scale means [[exactByContent]], whose
+    * hash-grouped struct-min carries the text inside one aggregation).
     */
   def exactByHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val winners = df
-      .select(wyhash64(col(textCol)).as("__g_h"), col(idCol).as("__g_id"))
-      .groupBy(col("__g_h"))
+      .select(wyhash64(col(textCol)).as("__g_h"), length(col(textCol)).as("__g_l"),
+        col(idCol).as("__g_id"))
+      .groupBy(col("__g_h"), col("__g_l"))
       .agg(min(col("__g_id")).as("__g_id"))
     // Null-safe id equality: a text group whose ids are ALL null elects a
     // null winner, and plain === would match nothing — silently losing the
     // text from the output. With <=> such rows all survive instead (null ids
     // already violate the uniqueness contract; keeping duplicates is the
-    // safe failure mode, losing data is not).
+    // safe failure mode, losing data is not). Null texts likewise group
+    // under (null, null) via <=>. The length in the key costs 4 bytes/row
+    // and removes every cross-length hash collision.
     df.join(
       winners,
-      (df(idCol) <=> winners("__g_id")) && (wyhash64(df(textCol)) <=> winners("__g_h")),
+      (df(idCol) <=> winners("__g_id")) && (wyhash64(df(textCol)) <=> winners("__g_h")) &&
+        (length(df(textCol)) <=> winners("__g_l")),
       "left_semi")
   }
 
@@ -71,10 +83,15 @@ object Dedup {
     * the window shape there is no second full-corpus pass and the reduce
     * side only sees collapsed candidates. With a unique id
     * [[exactByHash]] ships only 16 bytes/row instead.
+    *
+    * "Exact" bound: rows are grouped by (64-bit wyhash, length) of the text;
+    * two DIFFERENT same-length texts colliding in wyhash64 would keep only
+    * one survivor (~n^2 / 2^65 expected collisions per length class —
+    * negligible below ~10^10 same-length rows; see [[exactByHash]]).
     */
   def exactByContent(df: DataFrame, textCol: String): DataFrame = {
     val rowStruct = struct(df.columns.map(col): _*)
-    df.groupBy(wyhash64(col(textCol)).as("__g_h"))
+    df.groupBy(wyhash64(col(textCol)).as("__g_h"), length(col(textCol)).as("__g_l"))
       .agg(min(rowStruct).as("__g_row"))
       .select(col("__g_row.*"))
   }
@@ -90,12 +107,31 @@ object Dedup {
         minhash_signature(col(textCol), numHashes, shingleSize).as("_sig"))
       .filter(element_at(col("_sig"), 1) =!= Long.MaxValue)
 
+  /** Degenerate-bucket guard shared by every LSH self-join: a bucket key
+    * shared by a huge number of docs (boilerplate corpora) makes the bucket
+    * self-join quadratic IN THAT BUCKET, so oversized buckets are dropped
+    * via a groupBy-count + join (no window sort; the aggregation shuffles
+    * only (key, partial count), and the filter join's small-buckets side is
+    * a tiny key list that AQE broadcasts). The semantic trade is explicit
+    * and the same one minhash has always documented: pairs entirely inside
+    * an over-`maxBucketSize` bucket are not reported — at the thresholds
+    * these operators serve, such buckets are boilerplate, and boilerplate
+    * belongs to exact dedup, not near-dup LSH.
+    */
+  private def dropOversizedBuckets(banded: DataFrame, bucketCol: String,
+      maxBucketSize: Int): DataFrame = {
+    val smallBuckets = banded.groupBy(col(bucketCol))
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") <= maxBucketSize)
+      .select(col(bucketCol))
+    banded.join(smallBuckets, Seq(bucketCol))
+  }
+
   /** Per-doc band keys as narrow `(_band, _id)` rows — the signature is
-    * dropped BEFORE anything shuffles, so band exchanges carry ~16 bytes/row.
-    * Degenerate-bucket guard: a band key shared by a huge number of docs
-    * (boilerplate) would make the self-join quadratic, so oversized buckets
-    * are dropped via a groupBy+join (no window sort; the band exchange is
-    * reused by Catalyst for the count, the filter join, and the self-join).
+    * dropped BEFORE anything shuffles, so band exchanges carry ~16 bytes/row,
+    * then oversized buckets are dropped ([[dropOversizedBuckets]]; the band
+    * exchange is reused by Catalyst for the count, the filter join, and the
+    * self-join).
     */
   private def cappedBands(sigs: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucketSize: Int): DataFrame = {
@@ -103,11 +139,7 @@ object Dedup {
       col("_id"),
       explode(array((0 until bands).map(b =>
         minhash_band_key(col("_sig"), b, rowsPerBand)): _*)).as("_band"))
-    val smallBuckets = banded.groupBy(col("_band"))
-      .agg(count(lit(1)).as("_bn"))
-      .filter(col("_bn") <= maxBucketSize)
-      .select(col("_band"))
-    banded.join(smallBuckets, Seq("_band"))
+    dropOversizedBuckets(banded, "_band", maxBucketSize)
   }
 
   /** MinHash-LSH candidate pairs: documents sharing >= 1 of `bands` band
@@ -212,15 +244,26 @@ object Dedup {
 
   /** Transitive near-duplicate clusters from a pair list: each round does one
     * hop of min-label propagation over the edges PLUS a pointer-jumping step
-    * (label := label(label)), so `iterations` rounds cover chains of length
-    * ~2^iterations. Returns (id, cluster_id); docs without any pair map to
-    * themselves.
+    * (label := label(label)), so round r covers chains of length ~2^r.
+    * Returns (id, cluster_id); docs without any pair map to themselves.
+    *
+    * Convergence: with `converge = true` (default) each round is evaluated
+    * eagerly and the loop STOPS at the first round where no label changed —
+    * a sound fixpoint test (labels only ever decrease, and a hop-stable
+    * labeling is constant per connected component, hence the component
+    * minimum). `iterations` is then only a safety budget (default 20 covers
+    * component diameters ~2^20; a warning is logged if it is ever
+    * exhausted). With `converge = false` the function stays a pure lazy plan
+    * builder — no Spark jobs run until the caller acts — and runs exactly
+    * `iterations` rounds, so the caller owns the chain-length contract
+    * (diameter <= ~2^iterations).
     */
   def nearDupClusters(
       df: DataFrame,
       idCol: String,
       pairs: DataFrame, // (id_a, id_b) with id_a < id_b
-      iterations: Int = 4): DataFrame = {
+      iterations: Int = 20,
+      converge: Boolean = true): DataFrame = {
     // Materialized once (lazily): the pair list is typically itself an LSH
     // pipeline, and every iteration joins against it.
     val edges = pairs.select(col("id_a"), col("id_b"))
@@ -228,7 +271,8 @@ object Dedup {
       .localCheckpoint(eager = false)
     var labels = df.select(col(idCol).as("_id"), col(idCol).as("cluster_id"))
     var i = 0
-    while (i < iterations) {
+    var done = false
+    while (i < iterations && !done) {
       // hop: min of own and neighbors' labels
       val neighborMin = edges
         .join(labels, edges("id_b") === labels("_id"))
@@ -237,25 +281,40 @@ object Dedup {
         .join(neighborMin, labels("_id") === neighborMin("id_a"), "left")
         .select(col("_id"),
           least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (col("_nmin") < col("cluster_id")).as("_chg"))
       // pointer jump: adopt the label of the current label (path halving).
       // `hopped` feeds the join twice, so checkpoint it (computed once at
       // first use); then truncate the running frame's lineage every round —
       // without the checkpoints the logical plan doubles per iteration and
       // Catalyst re-analyzes the whole chain each time (driver-side blow-up
-      // for deep iteration counts). eager=false keeps this function a lazy
-      // plan builder: no Spark jobs run until the caller acts on the result.
-      val jumped = hopped.localCheckpoint(eager = false)
+      // for deep iteration counts). eager follows `converge`: the fixpoint
+      // test needs the round materialized anyway, and the check then reads
+      // the block manager instead of recomputing.
+      val jumped = hopped.localCheckpoint(eager = converge)
       val parents = jumped.select(
         col("_id").as("_pid"), col("cluster_id").as("_plabel"))
-      labels = jumped
+      val next = jumped
         .join(parents, jumped("cluster_id") === parents("_pid"), "left")
         .select(col("_id"),
           least(col("cluster_id"), coalesce(col("_plabel"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint(eager = false)
+            .as("cluster_id"),
+          // changed this round = hop lowered it, or the jump did (null-safe:
+          // _chg/_plabel are null for isolated labels -> no change)
+          (coalesce(col("_chg"), lit(false)) ||
+            coalesce(col("_plabel") < col("cluster_id"), lit(false))).as("_chg"))
+        .localCheckpoint(eager = converge)
+      // the convergence probe scans the just-materialized round for one
+      // changed row (limit-1 short-circuits; the final, converged round is
+      // the only full scan) — no extra join, the flag rides the round frame
+      if (converge) done = next.filter(col("_chg")).isEmpty
+      labels = next.select(col("_id"), col("cluster_id"))
       i += 1
     }
+    if (converge && !done)
+      System.err.println(s"[graft] nearDupClusters: iteration budget " +
+        s"($iterations) exhausted before convergence — components with " +
+        s"diameter > ~2^$iterations may be split; raise `iterations`")
     labels.select(col("_id").as(idCol), col("cluster_id"))
   }
 
@@ -263,21 +322,31 @@ object Dedup {
     * differing bits. Buckets by each of 4 16-bit quarters (any pair within
     * Hamming <= 3 must agree on at least one quarter), verifies Hamming
     * distance inside buckets only.
+    *
+    * `maxBucketSize` caps quarter buckets exactly like minhash's band cap:
+    * a boilerplate-heavy corpus where thousands of near-identical docs share
+    * a 16-bit quarter would otherwise go quadratic in that bucket. Pairs
+    * entirely inside an oversized bucket are not reported (see
+    * [[dropOversizedBuckets]]); the bucket rows carry only ~24 bytes
+    * (quarter key, id, 8-byte simhash).
     */
   def simHashNearDupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-quarter bucketing covers Hamming <= 3 only")
     val hashed = df.select(col(idCol).as("_id"), simhash64(col(textCol)).as("_sh"))
-    val banded = hashed.select(
-      col("_id"), col("_sh"),
-      explode(array((0 until 4).map(q =>
-        struct(lit(q).as("q"),
-          shiftrightunsigned(col("_sh"), q * 16).bitwiseAND(lit(0xffffL)).as("v"))): _*))
-        .as("_bucket"))
+    val banded = dropOversizedBuckets(
+      hashed.select(
+        col("_id"), col("_sh"),
+        explode(array((0 until 4).map(q =>
+          struct(lit(q).as("q"),
+            shiftrightunsigned(col("_sh"), q * 16).bitwiseAND(lit(0xffffL)).as("v"))): _*))
+          .as("_bucket")),
+      "_bucket", maxBucketSize)
     val a = banded.select(col("_bucket"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
     val b = banded.select(col("_bucket"), col("_id").as("id_b"), col("_sh").as("_sh_b"))
     a.join(b, Seq("_bucket"))
@@ -305,6 +374,13 @@ object Dedup {
   /** Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets prune the
     * candidate space, exact cosine verifies inside buckets. Pairs with
     * cosine >= threshold, (idA < idB) distinct.
+    *
+    * Dirty vectors (wrong length, null elements, non-finite, all-zero) get
+    * no buckets from the kernel and drop out of LSH entirely. `maxBucketSize`
+    * caps the remaining buckets like minhash's band cap — a direction shared
+    * by a huge number of embeddings (e.g. a template cluster) would
+    * otherwise go quadratic in its bucket; pairs entirely inside an
+    * oversized bucket are not reported (see [[dropOversizedBuckets]]).
     */
   def embeddingNearDupPairs(
       df: DataFrame,
@@ -313,15 +389,18 @@ object Dedup {
       dim: Int,
       threshold: Double = 0.95,
       planes: Int = 10,
-      tables: Int = 6): DataFrame = {
+      tables: Int = 6,
+      maxBucketSize: Int = 10000): DataFrame = {
     // norms once per row before the self-join, never per candidate pair;
     // all table buckets from one kernel pass (posexplode: pos = table)
-    val banded = df.select(
-      col(idCol).as("_id"), col(vecCol).as("_v"),
-      Similarity.norm(col(vecCol)).as("_n"),
-      posexplode(hyperplane_buckets(col(vecCol), dim, planes, tables)))
-      .select(col("_id"), col("_v"), col("_n"),
-        struct(col("pos").as("t"), col("col").as("b")).as("_bucket"))
+    val banded = dropOversizedBuckets(
+      df.select(
+        col(idCol).as("_id"), col(vecCol).as("_v"),
+        Similarity.norm(col(vecCol)).as("_n"),
+        posexplode(hyperplane_buckets(col(vecCol), dim, planes, tables)))
+        .select(col("_id"), col("_v"), col("_n"),
+          struct(col("pos").as("t"), col("col").as("b")).as("_bucket")),
+      "_bucket", maxBucketSize)
     val a = banded.select(col("_bucket"), col("_id").as("id_a"),
       col("_v").as("_va"), col("_n").as("_na"))
     val b = banded.select(col("_bucket"), col("_id").as("id_b"),

@@ -118,23 +118,49 @@ object Multimodal {
           if (frames >= 0 && fmt.getFrameRate > 0) frames / fmt.getFrameRate.toDouble
           else 0.0
         val bits = fmt.getSampleSizeInBits
-        // RMS over 16-bit little-endian PCM samples (the WAV default); other
-        // widths report 0.0 rather than guessing at the sample layout.
+        // RMS over 16-bit PCM samples (the WAV default); other widths report
+        // 0.0 rather than guessing at the sample layout. The stream is read
+        // in fixed 64 KiB chunks — a multi-hundred-MB blob decodes in
+        // constant executor memory (readAllBytes materialized the whole
+        // decoded PCM stream per row). A sample straddling a chunk boundary
+        // carries its first byte over, so the sample sequence — and the
+        // accumulation order, hence the RMS bit pattern — is identical to
+        // the single-buffer walk.
         var rms = 0.0
         if (bits == 16) {
-          val data = in.readAllBytes()
-          var i = 0
+          val buf = new Array[Byte](65536)
           var acc = 0.0
-          var n = 0
+          var n = 0L
           val le = !fmt.isBigEndian
-          while (i + 1 < data.length) {
-            val s =
-              if (le) ((data(i) & 0xff) | (data(i + 1) << 8)).toShort
-              else ((data(i + 1) & 0xff) | (data(i) << 8)).toShort
-            val v = s / 32768.0
-            acc += v * v
-            n += 1
-            i += 2
+          // pending first byte of a straddling sample, masked to 0..255 so
+          // a 0x80..0xFF byte can't sign-extend into the -1 sentinel
+          var carry = -1
+          var read = in.read(buf)
+          while (read > 0) {
+            var i = 0
+            if (carry >= 0 && read >= 1) {
+              // (carry << 8) keeps bit-parity with the contiguous walk: the
+              // unsigned-byte high bits beyond 15 fall to .toShort either way
+              val s =
+                if (le) (carry | (buf(0) << 8)).toShort
+                else ((buf(0) & 0xff) | (carry << 8)).toShort
+              val v = s / 32768.0
+              acc += v * v
+              n += 1
+              carry = -1
+              i = 1
+            }
+            while (i + 1 < read) {
+              val s =
+                if (le) ((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort
+                else ((buf(i + 1) & 0xff) | (buf(i) << 8)).toShort
+              val v = s / 32768.0
+              acc += v * v
+              n += 1
+              i += 2
+            }
+            if (i < read) carry = buf(i) & 0xff
+            read = in.read(buf)
           }
           if (n > 0) rms = math.sqrt(acc / n)
         }

@@ -85,12 +85,16 @@ object Similarity {
     * trained on a driver-collected sample, exactly the standard IVF train
     * step.
     *
-    * Determinism caveat: the fixed-seed RNG makes training a pure function
-    * of the SAMPLE, and `limit` returns a stable sample only when the
-    * corpus plan has deterministic row order (a plain file scan — the
-    * normal case). A corpus that went through a shuffle/join first should
-    * be persisted or sorted before training if reproducible centroids
-    * matter.
+    * The sample is a deterministic HASH-SPREAD sample: rows are ranked by
+    * the wyhash of their vector content and the `sampleSize` smallest hashes
+    * win. Because the rank is a pure function of each row's VALUE, the
+    * sample (and therefore the centroids) is reproducible across runs,
+    * partitionings, and row orders, AND it draws uniformly from the whole
+    * corpus — a plain `limit(n)` would pull from whichever partitions scan
+    * first, so a corpus clustered by topic/source would train the quantizer
+    * on one unrepresentative slice and silently cost recall. The plan is a
+    * TakeOrderedAndProject: one scan, per-partition top-n heaps, no shuffle
+    * of the corpus.
     *
     * Dirty rows (null vectors, null elements, NaN/Inf components, lengths
     * differing from the first valid vector) are excluded from the sample —
@@ -98,6 +102,10 @@ object Similarity {
     * agree on what counts as data.
     *
     * Returns normalized centroids for [[ivfTopK]] / `nearest_centroids`.
+    * If the usable sample holds fewer than k DISTINCT directions, fewer
+    * than k centroids are returned (duplicate centroids would only create
+    * permanently-empty IVF cells); callers should size cells from
+    * `centroids.length`, as [[ivfTopK]] does.
     */
   def trainIvfCentroids(
       corpus: DataFrame,
@@ -107,8 +115,12 @@ object Similarity {
       iterations: Int = 10,
       seed: Long = 42L): Array[Array[Double]] = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // content-hash spread: deterministic in the data multiset, covers every
+    // partition; the string cast is the stable canonical form of the vector
     val raw: Array[Array[Double]] = corpus.select(col(vecCol))
-      .filter(col(vecCol).isNotNull).limit(sampleSize)
+      .filter(col(vecCol).isNotNull)
+      .orderBy(graft.functions.wyhash64(col(vecCol).cast("string")))
+      .limit(sampleSize)
       .collect()
       .flatMap { r =>
         val seq = r.getSeq[Any](0)
@@ -139,31 +151,37 @@ object Similarity {
     val centroids = scala.collection.mutable.ArrayBuffer[Array[Double]](
       sample(rnd.nextInt(sample.length)).clone())
     refresh(centroids(0))
-    while (centroids.length < k) {
+    var exhausted = false
+    while (centroids.length < k && !exhausted) {
       val w = minD.map(d => d * d)
       val total = w.sum
-      val pick =
-        if (total <= 0) sample(rnd.nextInt(sample.length))
-        else {
-          var target = rnd.nextDouble() * total
-          var i = 0
-          while (i < sample.length - 1 && target > w(i)) { target -= w(i); i += 1 }
-          sample(i)
-        }
-      centroids += pick.clone()
-      refresh(pick)
+      if (total <= 0) {
+        // every remaining point coincides with an existing centroid (fewer
+        // than k distinct directions in the sample): another pick could only
+        // duplicate a centroid and leave its cell permanently empty — stop
+        // seeding and return the distinct centroids found
+        exhausted = true
+      } else {
+        var target = rnd.nextDouble() * total
+        var i = 0
+        while (i < sample.length - 1 && target > w(i)) { target -= w(i); i += 1 }
+        val pick = sample(i)
+        centroids += pick.clone()
+        refresh(pick)
+      }
     }
+    val kEff = centroids.length
     // Lloyd iterations (assign by max dot, mean, renormalize)
     var cs = centroids.toArray
     var it = 0
     while (it < iterations) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Int](k)
+      val sums = Array.fill(kEff)(new Array[Double](dim))
+      val counts = new Array[Int](kEff)
       sample.foreach { s =>
         var best = 0
         var bestDot = Double.NegativeInfinity
         var c = 0
-        while (c < k) {
+        while (c < kEff) {
           val d = dotArr(s, cs(c))
           if (d > bestDot) { best = c; bestDot = d }
           c += 1
@@ -172,7 +190,7 @@ object Similarity {
         while (j < dim) { sums(best)(j) += s(j); j += 1 }
         counts(best) += 1
       }
-      cs = Array.tabulate(k) { c =>
+      cs = Array.tabulate(kEff) { c =>
         if (counts(c) == 0) cs(c) // empty cell keeps its centroid
         else {
           val m = sums(c).map(_ / counts(c))

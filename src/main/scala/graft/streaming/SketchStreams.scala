@@ -33,10 +33,13 @@ object SketchStreams {
   }
 
   /** Streaming exact dedup: drops rows whose text content was already seen
-    * within the watermark horizon. The dedup state is keyed on the 8-byte
-    * wyhash of the text — the state store holds tiny hash keys plus event
-    * time, never the document text, and the watermark bounds state size (the
-    * streaming analog of Dedup.exactByHash's projected winner election).
+    * within the watermark horizon. The dedup state is keyed on the (8-byte
+    * wyhash, length) of the text — the state store holds tiny keys plus
+    * event time, never the document text, and the watermark bounds state
+    * size (the streaming analog of Dedup.exactByHash's projected winner
+    * election, with the same "exact" bound: two DIFFERENT same-length texts
+    * colliding in wyhash64 would dedup as one — ~n^2/2^65 expected per
+    * length class within the watermark horizon).
     */
   def streamingExactDedup(
       stream: DataFrame,
@@ -45,9 +48,10 @@ object SketchStreams {
       watermarkDelay: String): DataFrame =
     stream
       .withColumn("_content_hash", wyhash64(col(textCol)))
+      .withColumn("_content_len", length(col(textCol)))
       .withWatermark(eventTimeCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark("_content_hash")
-      .drop("_content_hash")
+      .dropDuplicatesWithinWatermark("_content_hash", "_content_len")
+      .drop("_content_hash", "_content_len")
 
   /** Running sketch per key (update/complete mode): emits the serialized
     * sketch so downstream consumers can union across jobs.

@@ -93,29 +93,56 @@ class VectorOpsSpec extends AnyFunSuite {
 
   test("hyperplane_buckets kernel == per-table column-algebra buckets, bit for bit") {
     val dim = 32
-    val vecs = randFloats(150, 5).map(a => java.util.Arrays.copyOf(a, dim)).toDF("v")
+    // the equality property holds for CLEAN vectors (dirty ones now drop —
+    // see the dirty-vector test); all-zero draws (a zero-length randFloats
+    // array zero-padded to dim) are excluded
+    val vecs = randFloats(150, 5).map(a => java.util.Arrays.copyOf(a, dim))
+      .filter(_.exists(_ != 0.0f)).toDF("v")
     val kernel = hyperplane_buckets($"v", dim, planes = 8, tables = 5)
     val perTable = array((0 until 5).map(t =>
       graft.ops.Similarity.hyperplaneBucket($"v", dim, 8, t)): _*)
     val bad = vecs.select(kernel.as("n"), perTable.as("o"))
       .filter($"n" =!= $"o").collect()
     assert(bad.isEmpty, s"divergent buckets: ${bad.take(3).mkString(";")}")
-    // wrong-length vector -> all-zero buckets (the old null-dot behavior)
-    val short = Seq(Array(1.0f, 2.0f)).toDF("v")
-      .select(hyperplane_buckets($"v", dim, 8, 5)).collect()(0).getSeq[Long](0)
-    assert(short == Seq(0L, 0L, 0L, 0L, 0L))
   }
 
-  test("nearest_centroids: NaN / wrong-length / null-element vectors land in no cell") {
+  test("hyperplane_buckets: dirty vectors get NO buckets (empty array, row drops from banding)") {
+    val dim = 4
+    val healthy = Array(1.0f, -2.0f, 0.5f, 3.0f)
+    val rows = Seq(
+      (1L, Array(1.0f, 2.0f)), // wrong length
+      (2L, Array(Float.NaN, 1.0f, 1.0f, 1.0f)), // NaN component
+      (3L, Array(Float.PositiveInfinity, 1.0f, 1.0f, 1.0f)), // Inf component
+      (4L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector (no direction)
+      (5L, healthy)
+    ).toDF("id", "v")
+    val buckets = rows.select($"id", hyperplane_buckets($"v", dim, 8, 5).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    Seq(1L, 2L, 3L, 4L).foreach(id =>
+      assert(buckets(id).isEmpty, s"dirty vector $id must get no buckets: ${buckets(id)}"))
+    assert(buckets(5L).length == 5)
+    // null-element vectors drop too
+    val nullElem = Seq(Seq[java.lang.Float](1.0f, null, 1.0f, 1.0f)).toDF("v")
+      .select(hyperplane_buckets($"v", dim, 8, 5)).collect()(0).getSeq[Long](0)
+    assert(nullElem.isEmpty)
+    // posexplode therefore produces zero banding rows for dirty vectors
+    val banded = rows.select($"id", posexplode(hyperplane_buckets($"v", dim, 8, 5)))
+    assert(banded.collect().forall(_.getLong(0) == 5L))
+  }
+
+  test("nearest_centroids: dirty vectors (NaN/Inf/wrong-length/null-element/zero) land in no cell") {
     val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
     val df = Seq(
       (1L, Array(Float.NaN, 1.0f)),
       (2L, Array(1.0f)), // wrong length
-      (3L, Array(0.9f, 0.1f)) // healthy
+      (3L, Array(0.9f, 0.1f)), // healthy
+      (4L, Array(Float.NegativeInfinity, 1.0f)), // Inf breaks downstream cosine
+      (5L, Array(0.0f, 0.0f)) // zero vector: would land in cell 0 by tie-break
     ).toDF("id", "v")
     val cells = df.select($"id", nearest_centroids($"v", centroids, 1).as("c"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
-    assert(cells(1L).isEmpty && cells(2L).isEmpty, s"bad vectors must get no cells: $cells")
+    Seq(1L, 2L, 4L, 5L).foreach(id =>
+      assert(cells(id).isEmpty, s"bad vector $id must get no cells: $cells"))
     assert(cells(3L) == Seq(0))
   }
 

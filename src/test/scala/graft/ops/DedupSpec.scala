@@ -191,17 +191,94 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
-  test("nearDupClusters plan size is O(1) in iterations (lineage truncated)") {
+  test("nearDupClusters plan size is O(1) in iterations (lineage truncated, lazy mode)") {
     val docs = ((1L to 11L) :+ 99L).toDF("doc_id")
     val pairs = (1L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     def planNodes(n: Int): Int = {
-      val df = Dedup.nearDupClusters(docs, "doc_id", pairs, iterations = n)
+      // converge = false is the lazy-plan-builder mode: no Spark jobs run
+      // here, only plan construction
+      val df = Dedup.nearDupClusters(docs, "doc_id", pairs, iterations = n,
+        converge = false)
       var cnt = 0
       df.queryExecution.optimizedPlan.foreach(_ => cnt += 1)
       cnt
     }
     assert(planNodes(8) == planNodes(1),
       "plan should collapse to a checkpointed scan regardless of iteration count")
+  }
+
+  test("nearDupClusters converges on long chains (fixpoint early-stop, no fixed-round split)") {
+    // a 40-doc chain has diameter 39: the old fixed 4-round budget (~2^4)
+    // silently split it into several clusters; the convergence check must
+    // collapse it fully — and stop early on its own
+    val n = 40L
+    val docs = ((1L to n) :+ 999L).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to n).foreach(i => assert(clusters(i) == 1L,
+      s"chain node $i -> ${clusters(i)} (split cluster)"))
+    assert(clusters(999L) == 999L)
+    // lazy mode keeps the old contract: 4 fixed rounds do NOT cover a
+    // 40-chain (documents the chain-length bound the caller owns)
+    val lazy4 = Dedup.nearDupClusters(docs, "doc_id", pairs, iterations = 4,
+      converge = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lazy4.values.toSet.size > 2,
+      "4 lazy rounds covering a 40-chain would make this test meaningless")
+  }
+
+  test("simhash: oversized quarter buckets are capped (boilerplate skew guard)") {
+    // 60 identical docs share all four 16-bit quarters -> one 60-doc bucket
+    // per quarter; two genuinely near-dup docs elsewhere must still pair
+    val boiler = (0 until 60).map(i => (100L + i, "boilerplate legal footer " +
+      "all rights reserved contact us terms of service privacy policy"))
+    val near = Seq((1L, baseText), (2L, mutate(baseText, 1, 3)))
+    val docs = (boiler ++ near).toDF("doc_id", "text")
+    // cap below the boilerplate bucket: its pairs vanish, the normal pair stays
+    val capped = Dedup.simHashNearDupPairs(docs, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)), s"normal near-dup lost by the cap: $capped")
+    assert(!capped.exists(p => p._1 >= 100L || p._2 >= 100L),
+      s"oversized boilerplate bucket must not emit pairs: ${capped.take(5)}")
+    // default cap (10000) keeps everything: 60 identical docs -> C(60,2) pairs
+    val uncapped = Dedup.simHashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .filter($"id_a" >= 100L).count()
+    assert(uncapped == 60L * 59 / 2, s"expected 1770 boilerplate pairs, got $uncapped")
+  }
+
+  test("embedding LSH: oversized buckets capped; dirty vectors drop from banding") {
+    val dim = 8
+    val template = Array.fill(dim)(0.5f)
+    val clones = (0 until 40).map(i => (100L + i, template))
+    val rnd = new scala.util.Random(5)
+    def unit(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(dim)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val a = unit(1)
+    val near = Seq((1L, a), (2L, a.map(x => x + rnd.nextGaussian().toFloat * 0.005f)))
+    val dirty = Seq(
+      (900L, Array(Float.NaN) ++ Array.fill(dim - 1)(1.0f)),
+      (901L, Array.fill(dim)(0.0f)),
+      (902L, Array(1.0f, 2.0f))) // wrong length
+    val df = (clones ++ near ++ dirty).toDF("vec_id", "embedding")
+    val capped = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", dim,
+      threshold = 0.95, planes = 6, tables = 4, maxBucketSize = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)), s"normal near-dup lost by the cap: $capped")
+    assert(!capped.exists(p => p._1 >= 100L || p._2 >= 100L),
+      s"oversized template bucket must not emit pairs: ${capped.take(5)}")
+    assert(!capped.exists(p => p._1 >= 900L || p._2 >= 900L),
+      s"dirty vectors must never pair: $capped")
+    // default cap keeps the clone pairs: C(40,2)
+    val uncapped = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", dim,
+      threshold = 0.95, planes = 6, tables = 4)
+      .filter($"id_a" >= 100L).count()
+    assert(uncapped == 40L * 39 / 2, s"expected 780 clone pairs, got $uncapped")
   }
 
   test("minhash band exchanges carry (band, id) only; signatures rejoin by id") {

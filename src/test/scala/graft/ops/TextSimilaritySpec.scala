@@ -137,10 +137,13 @@ class SimilaritySpec extends AnyFunSuite {
     val queries = (0 until 10).map(i => (i.toLong, jitter(unitVec(dim, i), 0.02f, 500 + i)))
       .toDF("qid", "qvec")
     val centroids = Similarity.trainIvfCentroids(corpus, "vec", k = 12, sampleSize = 300)
-    // determinism: retraining on the same corpus gives identical centroids
-    val again = Similarity.trainIvfCentroids(corpus, "vec", k = 12, sampleSize = 300)
+    // determinism: retraining on the same corpus gives identical centroids —
+    // even under a DIFFERENT partitioning/row order, because the hash-spread
+    // sample is a pure function of the data multiset, not the plan
+    val again = Similarity.trainIvfCentroids(corpus.repartition(7), "vec",
+      k = 12, sampleSize = 300)
     assert(centroids.zip(again).forall { case (a, b) => a.sameElements(b) },
-      "IVF training must be deterministic")
+      "IVF training must be deterministic and partitioning-invariant")
     assert(centroids.forall(c =>
       math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9), "centroids normalized")
     val got = Similarity.ivfTopK(corpus, "id", "vec", queries, "qid", "qvec",
@@ -155,5 +158,50 @@ class SimilaritySpec extends AnyFunSuite {
     val brute = Similarity.bruteForceTopK(corpus, "id", "vec", queries, "qid", "qvec", 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(full == brute, s"nProbe=k must equal brute force: $full vs $brute")
+  }
+
+  test("trainIvfCentroids samples across ALL partitions, not the first-scanned slice") {
+    val dim = 8
+    def around(center: Array[Float], seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      center.map(x => x + r.nextGaussian().toFloat * 0.02f).toSeq
+    }
+    val a = Array.fill(dim)(0.0f).updated(0, 1.0f)
+    val b = Array.fill(dim)(0.0f).updated(1, 1.0f)
+    // topic-clustered layout: partition 0 holds ONLY cluster A, partition 1
+    // ONLY cluster B — exactly the corpus shape where limit(n) trained the
+    // quantizer on one unrepresentative slice
+    val rows = (0 until 100).map(i => (i.toLong, around(a, i))) ++
+      (100 until 200).map(i => (i.toLong, around(b, i)))
+    val corpus = rows.toDF("id", "vec")
+      .repartitionByRange(2, $"id")
+      .sortWithinPartitions($"id")
+    val centroids = Similarity.trainIvfCentroids(corpus, "vec", k = 2, sampleSize = 50)
+    assert(centroids.length == 2)
+    def maxDot(dir: Array[Float]): Double =
+      centroids.map(c => c.zip(dir).map { case (x, y) => x * y }.sum).max
+    // one centroid must represent each cluster — a first-partition-only
+    // sample would leave cluster B unrepresented (max dot ~0)
+    assert(maxDot(a) > 0.9, s"cluster A unrepresented: ${centroids.map(_.toSeq).toSeq}")
+    assert(maxDot(b) > 0.9, s"cluster B unrepresented: ${centroids.map(_.toSeq).toSeq}")
+  }
+
+  test("trainIvfCentroids: fewer distinct directions than k -> fewer, distinct centroids") {
+    val dim = 4
+    val u = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val v = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    // 50 rows but only two distinct vectors; k = 5 used to emit duplicate
+    // centroids (permanently empty IVF cells)
+    val rows = (0 until 50).map(i => (i.toLong, if (i % 2 == 0) u else v))
+    val centroids = Similarity.trainIvfCentroids(rows.toDF("id", "vec"), "vec",
+      k = 5, sampleSize = 50)
+    assert(centroids.length == 2, s"expected 2 distinct centroids, got ${centroids.length}")
+    assert(!centroids(0).sameElements(centroids(1)), "duplicate centroids")
+    // and serving still works with the reduced centroid set
+    val queries = Seq((0L, u), (1L, v)).toDF("qid", "qvec")
+    val got = Similarity.ivfTopK(rows.toDF("id", "vec"), "id", "vec",
+      queries, "qid", "qvec", k = 1, centroids, nProbe = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == 0L && got(1L) == 1L, s"IVF serving broken: $got")
   }
 }
