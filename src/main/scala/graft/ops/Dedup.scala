@@ -375,12 +375,25 @@ object Dedup {
     * candidate space, exact cosine verifies inside buckets. Pairs with
     * cosine >= threshold, (idA < idB) distinct.
     *
+    * Scale shape — the same one minhash earned the hard way: bucket
+    * exchanges and the bucket self-join carry ONLY `(bucket, id)` (~20
+    * bytes/row); the vectors are re-joined by id for the far smaller
+    * distinct candidate-pair set, so each pair's cosine is computed exactly
+    * once (the previous shape shuffled `tables` copies of every vector
+    * through the self-join and scored a pair once per shared bucket).
+    *
     * Dirty vectors (wrong length, null elements, non-finite, all-zero) get
     * no buckets from the kernel and drop out of LSH entirely. `maxBucketSize`
     * caps the remaining buckets like minhash's band cap — a direction shared
     * by a huge number of embeddings (e.g. a template cluster) would
     * otherwise go quadratic in its bucket; pairs entirely inside an
     * oversized bucket are not reported (see [[dropOversizedBuckets]]).
+    *
+    * `cacheVectors` is minhash's `cacheSignatures` dial: `true` (default)
+    * lazily localCheckpoints the projected (id, vec, norm) frame shared by
+    * banding and the two candidate rejoins; `false` recomputes it per
+    * consumer (right when the upstream is a cheap scan or executor disk is
+    * tight).
     */
   def embeddingNearDupPairs(
       df: DataFrame,
@@ -390,29 +403,32 @@ object Dedup {
       threshold: Double = 0.95,
       planes: Int = 10,
       tables: Int = 6,
-      maxBucketSize: Int = 10000): DataFrame = {
-    // norms once per row before the self-join, never per candidate pair;
-    // all table buckets from one kernel pass (posexplode: pos = table)
+      maxBucketSize: Int = 10000,
+      cacheVectors: Boolean = true): DataFrame = {
+    // norms once per row, never per candidate pair; all table buckets from
+    // one kernel pass (posexplode: pos = table; dirty vectors -> no rows)
+    val rawVecs = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      Similarity.norm(col(vecCol)).as("_n"))
+    val vecs = if (cacheVectors) rawVecs.localCheckpoint(eager = false) else rawVecs
     val banded = dropOversizedBuckets(
-      df.select(
-        col(idCol).as("_id"), col(vecCol).as("_v"),
-        Similarity.norm(col(vecCol)).as("_n"),
-        posexplode(hyperplane_buckets(col(vecCol), dim, planes, tables)))
-        .select(col("_id"), col("_v"), col("_n"),
+      vecs.select(col("_id"),
+        posexplode(hyperplane_buckets(col("_v"), dim, planes, tables)))
+        .select(col("_id"),
           struct(col("pos").as("t"), col("col").as("b")).as("_bucket")),
       "_bucket", maxBucketSize)
-    val a = banded.select(col("_bucket"), col("_id").as("id_a"),
-      col("_v").as("_va"), col("_n").as("_na"))
-    val b = banded.select(col("_bucket"), col("_id").as("id_b"),
-      col("_v").as("_vb"), col("_n").as("_nb"))
-    val denom = col("_na") * col("_nb")
-    a.join(b, Seq("_bucket"))
+    val a = banded.select(col("_bucket"), col("_id").as("id_a"))
+    val b = banded.select(col("_bucket"), col("_id").as("id_b"))
+    val candidates = a.join(b, Seq("_bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val va = vecs.select(col("_id").as("id_a"), col("_v").as("_va"), col("_n").as("_na"))
+    val vb = vecs.select(col("_id").as("id_b"), col("_v").as("_vb"), col("_n").as("_nb"))
+    val denom = col("_na") * col("_nb")
+    candidates.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         when(denom > 0, Similarity.dot(col("_va"), col("_vb")) / denom)
           .otherwise(lit(0.0)).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("cosine")).as("cosine"))
   }
 }

@@ -300,6 +300,30 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("embedding bucket exchanges carry (bucket, id) only; vectors rejoin by id") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dim = 8
+      val docs = (0 until 50).map { i =>
+        val r = new scala.util.Random(i)
+        (i.toLong, Array.fill(dim)(r.nextGaussian().toFloat))
+      }.toDF("vec_id", "embedding")
+      val out = Dedup.embeddingNearDupPairs(docs, "vec_id", "embedding", dim,
+        threshold = 0.9, planes = 6, tables = 4)
+      val shuffles = out.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          (s.outputPartitioning.toString, s.child.output.map(_.name))
+      }
+      val bucketShuffles = shuffles.filter(_._1.contains("_bucket"))
+      assert(bucketShuffles.nonEmpty, s"expected bucket-partitioned exchanges: $shuffles")
+      bucketShuffles.foreach { case (part, names) =>
+        assert(!names.exists(n => n.contains("_v") || n.contains("_n")),
+          s"bucket exchange $part ships vectors/norms: $names")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("ngramJaccard: exact set similarity (1.0 identical, 0.0 disjoint)") {
     val df = Seq((baseText, baseText, "alpha beta gamma delta epsilon zeta"))
       .toDF("a", "b", "c")
