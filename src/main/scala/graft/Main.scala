@@ -142,6 +142,50 @@ object Main {
             org.apache.spark.sql.functions.lit(1)).as("kept"))
           .write.mode("overwrite").parquet(out)
 
+      // SimHash near-dup soak with a boilerplate-heavy corpus: the generated
+      // pages repeat texts by design (distinctUrls << rows), so giant
+      // identical-quarter buckets exist naturally; the maxBucketSize cap is
+      // what keeps the bucket self-join linear. Output: candidate pair count.
+      case "dedup-simhash" =>
+        val Array(_, in, out) = args.take(3)
+        val maxHamming = if (args.length > 3) args(3).toInt else 3
+        val maxBucketSize = if (args.length > 4) args(4).toInt else 10000
+        val pages = pagesWithUniqueRid(spark, in)
+        Dedup.simHashNearDupPairs(pages, "_rid", "text", maxHamming, maxBucketSize)
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("pairs"))
+          .write.mode("overwrite").parquet(out)
+
+      // Embedding near-dup soak over synthesized vectors: `cloneRows` rows
+      // share ONE template vector (the hot-direction skew case the bucket
+      // cap exists for), the rest are wyhash-derived pseudo-random unit-ish
+      // vectors. Vectors synthesize per-row in the scan (no driver loop).
+      case "dedup-embedding" =>
+        import org.apache.spark.sql.functions._
+        val Array(_, rowsS, dimS, cloneS, out) = args.take(5)
+        val (rows, dim, cloneRows) = (rowsS.toLong, dimS.toInt, cloneS.toLong)
+        val threshold = if (args.length > 5) args(5).toDouble else 0.95
+        val maxBucketSize = if (args.length > 6) args(6).toInt else 10000
+        // planes sizing rule (see embeddingNearDupPairs scaladoc):
+        // log2(rows / ~30-per-bucket), clamped to [10, 20]
+        val planes = if (args.length > 7) args(7).toInt
+          else math.min(20, math.max(10,
+            (math.log(rows / 30.0) / math.log(2)).ceil.toInt))
+        val tables = if (args.length > 8) args(8).toInt else 6
+        val template = array((0 until dim).map(j =>
+          lit(math.sin(j * 0.7).toFloat)): _*)
+        val randomVec = array((0 until dim).map(j =>
+          // uniform in [-1, 1), deterministic per (row, component)
+          ((functions.wyhash64(col("id") * dim + j)
+            .cast("double") / lit(Long.MaxValue.toDouble))).cast("float")): _*)
+        val vecs = spark.range(rows).select(col("id").as("vec_id"),
+          when(col("id") < cloneRows, template).otherwise(randomVec).as("embedding"))
+        Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", dim,
+          threshold, planes = planes, tables = tables, maxBucketSize = maxBucketSize)
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("pairs"))
+          .write.mode("overwrite").parquet(out)
+
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other")
     }

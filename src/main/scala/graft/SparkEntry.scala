@@ -373,6 +373,10 @@ object SparkEntry {
       val base = java.nio.file.Files.createTempDirectory("graft_stream_").toString
       val inDir = s"$base/in"
       val ckpt = s"$base/ckpt"
+      // the state-store maintenance thread outlives this short-lived query
+      // and spams RPC warnings after the session rotates (e.g. in Bench's
+      // scaling phase); one idle hour is far beyond the query's life
+      s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
       val events = read(s, dir, "events")
         .select(col("event_id"), col("event_type"),
           pmod(col("user_id"), lit(16)).as("user_bucket"))

@@ -394,6 +394,15 @@ object Dedup {
     * banding and the two candidate rejoins; `false` recomputes it per
     * consumer (right when the upstream is a cheap scan or executor disk is
     * tight).
+    *
+    * SIZING `planes`: each table has 2^planes buckets and candidate work is
+    * sum(bucketSize^2) per table, so aim for
+    * `planes >= log2(corpus / desired_bucket_size)` — e.g. 2M vectors at
+    * ~30/bucket needs 16 planes; the old default of 10 (1024 buckets/table)
+    * put ~2000 random vectors in every bucket at 2M corpus and made the
+    * self-join a 10^10-pair explosion (measured, BASELINE.md). More planes =
+    * fewer false candidates but lower recall per table; add tables to buy
+    * recall back.
     */
   def embeddingNearDupPairs(
       df: DataFrame,
@@ -401,7 +410,7 @@ object Dedup {
       vecCol: String,
       dim: Int,
       threshold: Double = 0.95,
-      planes: Int = 10,
+      planes: Int = 16,
       tables: Int = 6,
       maxBucketSize: Int = 10000,
       cacheVectors: Boolean = true): DataFrame = {
