@@ -142,6 +142,25 @@ object Main {
             org.apache.spark.sql.functions.lit(1)).as("kept"))
           .write.mode("overwrite").parquet(out)
 
+      // Transitive near-dup clustering soak: minhash LSH pairs feed the
+      // convergence-checked label propagation (eager rounds, fixpoint
+      // early-stop). Output: docs, clusters, and the largest cluster size.
+      case "dedup-cluster" =>
+        import org.apache.spark.sql.functions._
+        val Array(_, in, out) = args.take(3)
+        val threshold = if (args.length > 3) args(3).toDouble else 0.8
+        val pages = pagesWithUniqueRid(spark, in)
+        val pairs = Dedup.minHashNearDupPairs(pages, "_rid", "text", threshold,
+          cacheSignatures = false)
+        val clusters = Dedup.nearDupClusters(
+          pages.select(col("_rid")), "_rid", pairs)
+        clusters.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("clusters"),
+            sum(col("sz")).as("docs"),
+            max(col("sz")).as("max_cluster"))
+          .write.mode("overwrite").parquet(out)
+
       // SimHash near-dup soak with a boilerplate-heavy corpus: the generated
       // pages repeat texts by design (distinctUrls << rows), so giant
       // identical-quarter buckets exist naturally; the maxBucketSize cap is

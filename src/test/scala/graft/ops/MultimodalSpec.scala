@@ -102,6 +102,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(2) && rows(2).isNullAt(2))
   }
 
+  test("decodeAudios: RMS is exact across multiple 64 KiB read chunks") {
+    // 10 s at 8 kHz mono16 = 160,000 PCM bytes ~ 2.4 chunks: the chunked
+    // accumulator (which replaced readAllBytes) must agree with the known
+    // closed form; odd total-sample counts exercise the tail handling
+    val df = Seq((1L, wav(8000f, 10.0, 0.25))).toDF("id", "blob")
+    val a = Multimodal.decodeAudios(df, "blob").collect()(0).getStruct(2)
+    assert(math.abs(a.getDouble(3) - 10.0) < 1e-3, s"duration ${a.getDouble(3)}")
+    assert(math.abs(a.getDouble(4) - 0.25 / math.sqrt(2)) < 1e-3, s"rms ${a.getDouble(4)}")
+  }
+
   test("frame sampling produces typed outputs of the right shape (video stub)") {
     val frames = Multimodal.sampleFrames(binDf.filter($"blob".isNotNull), "blob", 4)
       .select($"id", size($"frames").as("n")).collect()
