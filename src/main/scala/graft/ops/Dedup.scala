@@ -269,7 +269,14 @@ object Dedup {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint(eager = false)
+    // Propagate over PAIRED docs only: near-dup pair lists cover a small
+    // fraction of a corpus, and an isolated doc's label never changes — the
+    // previous shape dragged every corpus row through two joins PER ROUND.
+    // Isolated docs rejoin once at the end (left join + coalesce = one
+    // corpus pass total). The left-semi keeps the old contract that pair
+    // endpoints outside `df` neither receive labels nor bridge components.
     var labels = df.select(col(idCol).as("_id"), col(idCol).as("cluster_id"))
+      .join(edges.select(col("id_a").as("_id")).distinct(), Seq("_id"), "left_semi")
     var i = 0
     var done = false
     while (i < iterations && !done) {
@@ -315,7 +322,13 @@ object Dedup {
       System.err.println(s"[graft] nearDupClusters: iteration budget " +
         s"($iterations) exhausted before convergence — components with " +
         s"diameter > ~2^$iterations may be split; raise `iterations`")
-    labels.select(col("_id").as(idCol), col("cluster_id"))
+    // isolated docs (the vast majority at corpus scale) map to themselves in
+    // one pass; the propagated label frame is small, so AQE broadcasts it
+    val fin = labels.select(col("_id"), col("cluster_id"))
+    df.select(col(idCol).as("_id"))
+      .join(fin, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("cluster_id"), col("_id")).as("cluster_id"))
   }
 
   /** SimHash near-duplicate pairs: same 64-bit simhash up to `maxHamming`
