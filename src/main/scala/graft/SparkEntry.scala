@@ -345,6 +345,22 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
 
+    // IVF in its EXACT configuration: probing every cell (nProbe = #centroids)
+    // searches the whole corpus, so the result must equal brute force row for
+    // row — which gives this approximate-family operator an INDEPENDENT
+    // DuckDB oracle (same list_cosine_similarity twin as the brute-force
+    // baseline), not just a rows-only check
+    "q_ann_topk_ivf_fullprobe" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val centroids = graft.ops.Similarity.trainIvfCentroids(
+        emb, "embedding", k = 16, sampleSize = 2000)
+      graft.ops.Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 3, centroids, nProbe = centroids.length)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+
     // multimodal REAL image decode, driven end-to-end: deterministic
     // solid-gray PNG test cards are rendered per doc_id (real ImageIO
     // encode), decoded by the real javax.imageio reader in the batched
@@ -560,6 +576,45 @@ object SparkEntry {
         "FROM feat"),
     "q_ann_topk_bruteforce" ->
       "WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5) SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (SELECT q.qid, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id) rank FROM embeddings e, q) t WHERE rank <= 3",
+    // independent oracle: probing ALL cells makes IVF exactly brute force
+    "q_ann_topk_ivf_fullprobe" ->
+      "WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5) SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (SELECT q.qid, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id) rank FROM embeddings e, q) t WHERE rank <= 3",
+    // ------------------------------------------------------------------
+    // DETERMINISM PINS — the queries below are approximate (HLL range) or
+    // LSH/IVF-recall operators whose results have no SQL-expressible
+    // independent oracle, but every one is a PURE FUNCTION of the input
+    // data (fixed hashes, fixed plans, deterministic tie-breaks, data-only
+    // IVF sampling). The constants were computed by THIS library at sf0.01
+    // and are pinned so any regression in hashing, LSH banding, estimate
+    // math, or plan determinism fails the gate loudly — the same idea as
+    // the reference-derived q_ce_golden_anchor, with self-derived values.
+    // Accuracy itself is bounded against exact counts in `sbt test`
+    // (StatisticalErrorSpec, recall suites), not here.
+    // ------------------------------------------------------------------
+    "q_ce_urls_total" ->
+      "SELECT CAST(498 AS BIGINT) AS approx_texts",
+    "q_ce_users_per_type" ->
+      ("SELECT * FROM (VALUES ('click', CAST(151 AS BIGINT)), ('error', 151), " +
+        "('purchase', 151), ('signup', 151), ('view', 151)) AS t(event_type, approx_users)"),
+    "q_ce_orderkeys_per_flag" ->
+      ("SELECT * FROM (VALUES ('A', CAST(11011 AS BIGINT)), ('N', 11010), " +
+        "('R', 11173)) AS t(l_returnflag, approx_orderkeys)"),
+    "q_dedup_minhash_count" ->
+      "SELECT CAST(476 AS BIGINT) AS kept",
+    "q_dedup_simhash_pairs" ->
+      "SELECT CAST(20 AS BIGINT) AS pairs",
+    "q_dedup_embedding_pairs" ->
+      "SELECT CAST(0 AS BIGINT) AS pairs",
+    "q_ann_topk_lsh" ->
+      ("SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)), " +
+        "(0, 73, 2), (0, 51, 3), (1, 1, 1), (1, 441, 2), (1, 284, 3), " +
+        "(2, 2, 1), (2, 97, 2), (2, 474, 3), (3, 3, 1), (3, 201, 2), (3, 85, 3), " +
+        "(4, 4, 1), (4, 19, 2), (4, 337, 3)) AS t(query_id, neighbor_id, rank)"),
+    "q_ann_topk_ivf" ->
+      ("SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)), " +
+        "(0, 365, 2), (0, 423, 3), (1, 1, 1), (1, 386, 2), (1, 27, 3), " +
+        "(2, 2, 1), (2, 418, 2), (2, 471, 3), (3, 3, 1), (3, 130, 2), (3, 149, 3), " +
+        "(4, 4, 1), (4, 114, 2), (4, 496, 3)) AS t(query_id, neighbor_id, rank)"),
     "q_multimodal_features" ->
       "SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS blob_bytes FROM documents",
     "q_multimodal_decode" ->
