@@ -274,6 +274,19 @@ object SparkEntry {
         graft.ops.TextOps.docFingerprint(col("text")).as("fingerprint"),
         simhash64(col("text")).as("simhash"))),
 
+    // collective pin over the 500 per-row fingerprints (q_text_fingerprint
+    // itself stays rows-only: its values are wyhash-valued and the driver
+    // compare needs an expression DuckDB can't compute) — xor + distinct
+    // checksums make any single changed fingerprint fail the gate
+    "q_text_fingerprint_checksum" -> ((s, dir) =>
+      read(s, dir, "documents")
+        .select(graft.ops.TextOps.docFingerprint(col("text")).as("f"),
+          simhash64(col("text")).as("sh"))
+        .agg(expr("bit_xor(f)").as("fp_xor"),
+          countDistinct(col("f")).as("fp_distinct"),
+          expr("bit_xor(sh)").as("sh_xor"),
+          countDistinct(col("sh")).as("sh_distinct"))),
+
     // brute-force cosine top-3 ANN (exact; DuckDB twin via list_cosine_similarity)
     "q_ann_topk_bruteforce" -> ((s, dir) => {
       val emb = read(s, dir, "embeddings")
@@ -605,6 +618,11 @@ object SparkEntry {
       "SELECT CAST(20 AS BIGINT) AS pairs",
     "q_dedup_embedding_pairs" ->
       "SELECT CAST(0 AS BIGINT) AS pairs",
+    "q_text_fingerprint_checksum" ->
+      ("SELECT CAST(-473146569777551628 AS BIGINT) AS fp_xor, " +
+        "CAST(500 AS BIGINT) AS fp_distinct, " +
+        "CAST(6371330342564224236 AS BIGINT) AS sh_xor, " +
+        "CAST(499 AS BIGINT) AS sh_distinct"),
     "q_ann_topk_lsh" ->
       ("SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)), " +
         "(0, 73, 2), (0, 51, 3), (1, 1, 1), (1, 441, 2), (1, 284, 3), " +

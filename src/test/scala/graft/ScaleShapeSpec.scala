@@ -29,6 +29,20 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(rollup.length == 4 + 2 + 1)
   }
 
+  test("cube plan: one scan, Expand, PARTIAL sketch agg before the single exchange") {
+    val df = (0 until 4000).map(i => ("l" + (i % 2), "s" + (i % 4), i.toLong % 100))
+      .toDF("lang", "src", "v")
+    val plan = df.cube($"lang", $"src").agg(ce_approx_distinct($"v").as("d"))
+      .queryExecution.executedPlan.toString
+    // map-side partial sketches: only per-group sketch buffers cross the
+    // wire, never rows — the property that makes grouping sets free at 100TB
+    assert(plan.contains("Expand"), s"no Expand in cube plan:\n$plan")
+    assert(plan.contains("partial_ce_approx_distinct"),
+      s"cube aggregate is not partial before the exchange:\n$plan")
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"cube plan should have exactly one exchange:\n$plan")
+  }
+
   test("day-partitioned pages table: partition pruning reaches the scan") {
     val dir = Files.createTempDirectory("graft_pages_part_").toString
     PagesTable.writeTo(PagesTable.generate(spark, 5000, 5000, days = 10), dir)
