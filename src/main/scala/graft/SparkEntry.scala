@@ -243,12 +243,20 @@ object SparkEntry {
       graft.ops.Dedup.nearDupClusters(docs.select(col("doc_id")), "doc_id", pairs)
     }),
 
-    // embedding-cosine near-dup pairs via hyperplane LSH (approximate recall;
-    // rows-only check)
-    "q_dedup_embedding_pairs" -> ((s, dir) =>
+    // embedding-cosine near-dup pairs via hyperplane LSH. The raw embeddings
+    // are random (zero true pairs at 0.9 — a vacuous gate), so 5 exact
+    // copies of the first vectors are planted under ids 10000+i: the gate
+    // value 5 proves banding, capping, candidate rejoin, and the cosine
+    // verify all still find precisely the planted structure — a silent
+    // return-nothing regression can no longer pass
+    "q_dedup_embedding_pairs" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
       graft.ops.Dedup.embeddingNearDupPairs(
-        read(s, dir, "embeddings"), "vec_id", "embedding", dim = 64, threshold = 0.9)
-        .agg(count(lit(1)).as("pairs"))),
+        emb.union(planted), "vec_id", "embedding", dim = 64, threshold = 0.9)
+        .agg(count(lit(1)).as("pairs"))
+    }),
 
     // text statistics with exact SQL twins
     "q_text_stats" -> ((s, dir) =>
@@ -616,8 +624,10 @@ object SparkEntry {
       "SELECT CAST(476 AS BIGINT) AS kept",
     "q_dedup_simhash_pairs" ->
       "SELECT CAST(20 AS BIGINT) AS pairs",
+    // the 5 planted exact copies (and nothing else: random 64-d vectors
+    // essentially never reach cosine 0.9)
     "q_dedup_embedding_pairs" ->
-      "SELECT CAST(0 AS BIGINT) AS pairs",
+      "SELECT CAST(5 AS BIGINT) AS pairs",
     "q_text_fingerprint_checksum" ->
       ("SELECT CAST(-473146569777551628 AS BIGINT) AS fp_xor, " +
         "CAST(500 AS BIGINT) AS fp_distinct, " +

@@ -23,6 +23,13 @@ import org.apache.spark.sql.types._
   */
 object VecOps {
 
+  // immutable, shared: never allocate the no-buckets/no-cells result in the
+  // per-row hot path (consumers only read)
+  private val emptyLongs =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+  private val emptyInts =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Int])
+
   /** Boxed Double so null can signal "null element / length mismatch". */
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
     val n = a.numElements()
@@ -78,7 +85,7 @@ object VecOps {
     */
   def hyperplaneBuckets(a: ArrayData, planeMatrix: Array[Array[Double]], dim: Int,
       planes: Int, tables: Int, aFloat: Boolean): org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val empty = emptyLongs
     if (a.numElements() != dim) return empty
     val v = new Array[Double](dim)
     var anyNonZero = false
@@ -119,7 +126,7 @@ object VecOps {
     */
   def nearestCentroids(a: ArrayData, centroids: Array[Array[Double]], dim: Int,
       nProbe: Int, aFloat: Boolean): org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Int])
+    val empty = emptyInts
     if (a.numElements() != dim) return empty
     val v = new Array[Double](dim)
     var anyNonZero = false

@@ -86,15 +86,19 @@ object Similarity {
     * step.
     *
     * The sample is a deterministic HASH-SPREAD sample: rows are ranked by
-    * the wyhash of their vector content and the `sampleSize` smallest hashes
-    * win. Because the rank is a pure function of each row's VALUE, the
-    * sample (and therefore the centroids) is reproducible across runs,
-    * partitionings, and row orders, AND it draws uniformly from the whole
-    * corpus — a plain `limit(n)` would pull from whichever partitions scan
-    * first, so a corpus clustered by topic/source would train the quantizer
-    * on one unrepresentative slice and silently cost recall. The plan is a
-    * TakeOrderedAndProject: one scan, per-partition top-n heaps, no shuffle
-    * of the corpus.
+    * the wyhash of their vector content, the smallest hashes win, and exact
+    * duplicate vectors collapse to ONE sample slot (driver-side dedup over a
+    * 2x-oversampled window, so a heavily-duplicated template — which shares
+    * one hash — cannot flood the window and crowd out other directions).
+    * Because the rank is a pure function of each row's VALUE, the sample
+    * (and therefore the centroids) is reproducible across runs,
+    * partitionings, and row orders, AND it draws from the whole corpus — a
+    * plain `limit(n)` would pull from whichever partitions scan first, so a
+    * corpus clustered by topic/source would train the quantizer on one
+    * unrepresentative slice and silently cost recall. The quantizer is thus
+    * trained over distinct vector VALUES, not row frequencies. The plan is
+    * a TakeOrderedAndProject: one scan, per-partition top-n heaps, no
+    * shuffle of the corpus.
     *
     * Dirty rows (null vectors, null elements, NaN/Inf components, lengths
     * differing from the first valid vector) are excluded from the sample —
@@ -116,11 +120,14 @@ object Similarity {
       seed: Long = 42L): Array[Array[Double]] = {
     require(k >= 1, s"k must be >= 1, got $k")
     // content-hash spread: deterministic in the data multiset, covers every
-    // partition; the string cast is the stable canonical form of the vector
-    val raw: Array[Array[Double]] = corpus.select(col(vecCol))
+    // partition; the string cast is the stable canonical form of the vector.
+    // 2x oversample, then collapse exact duplicates (equal content = equal
+    // hash = adjacent in this order) so a hot duplicated vector takes one
+    // slot instead of the whole window.
+    val collected: Array[Array[Double]] = corpus.select(col(vecCol))
       .filter(col(vecCol).isNotNull)
       .orderBy(graft.functions.wyhash64(col(vecCol).cast("string")))
-      .limit(sampleSize)
+      .limit(2 * sampleSize)
       .collect()
       .flatMap { r =>
         val seq = r.getSeq[Any](0)
@@ -133,9 +140,21 @@ object Similarity {
           if (arr.exists(x => x.isNaN || x.isInfinite)) None else Some(arr)
         }
       }
-    val dim = raw.headOption.map(_.length).getOrElse(0)
+    val seen = scala.collection.mutable.HashSet[scala.collection.immutable.ArraySeq[Double]]()
+    val raw = collected.filter(a =>
+      seen.add(scala.collection.immutable.ArraySeq.unsafeWrapArray(a)))
+      .take(sampleSize)
+    // dim by majority vote over the sample (ties -> smaller dim): a single
+    // junk-length vector that happens to win the hash order must not define
+    // the dimension and silently discard the real sample
+    val dim = raw.groupBy(_.length).toSeq
+      .sortBy { case (len, vs) => (-vs.length, len) }
+      .headOption.map(_._1).getOrElse(0)
     val sample = raw.filter(_.length == dim).map(normalize).filter(_ != null)
-    require(sample.length >= k, s"usable sample (${sample.length}) smaller than k ($k)")
+    // the sample is already distinct-by-content: fewer distinct directions
+    // than k is the documented fewer-centroids case, not an error
+    require(sample.nonEmpty, "no usable (finite, non-zero) vectors to train on")
+    val kTarget = math.min(k, sample.length)
     val rnd = new scala.util.Random(seed)
     // k-means++ seeding: running min-distance per point, refreshed against
     // only the newest centroid (O(k n dim)), D^2 weighting
@@ -152,7 +171,7 @@ object Similarity {
       sample(rnd.nextInt(sample.length)).clone())
     refresh(centroids(0))
     var exhausted = false
-    while (centroids.length < k && !exhausted) {
+    while (centroids.length < kTarget && !exhausted) {
       val w = minD.map(d => d * d)
       val total = w.sum
       if (total <= 0) {
@@ -221,6 +240,14 @@ object Similarity {
     * recall/cost dial at corpus scale: recall rises with nProbe, cost with
     * cell size (corpus/k rows per cell on average). Query side broadcasts;
     * the corpus scans once and shuffles only (cell, id, vec, norm).
+    *
+    * `nProbe` is clamped to `centroids.length` — [[trainIvfCentroids]] may
+    * return fewer than the requested k centroids on low-diversity corpora,
+    * and a fixed caller-side nProbe must keep working. Dirty QUERY vectors
+    * (wrong length, null/non-finite elements, all-zero) land in no cell and
+    * therefore return NO rows for that query_id — cosine against a
+    * direction-less vector is undefined; filter or repair such queries
+    * upstream if their absence must be surfaced.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -232,6 +259,7 @@ object Similarity {
       k: Int,
       centroids: Array[Array[Double]],
       nProbe: Int = 4): DataFrame = {
+    val probe = math.min(nProbe, centroids.length)
     val corpusCells = corpus.select(
       col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv"),
       norm(col(corpusVec)).as("_cn"),
@@ -243,7 +271,7 @@ object Similarity {
     val queryCells = queries.select(
       col(queryId).as("query_id"), col(queryVec).as("_qv"),
       norm(col(queryVec)).as("_qn"),
-      explode(graft.functions.nearest_centroids(col(queryVec), centroids, nProbe))
+      explode(graft.functions.nearest_centroids(col(queryVec), centroids, probe))
         .as("_cell"))
     val denom = col("_qn") * col("_cn")
     // no (query, neighbor) dedup needed: each corpus row lives in exactly
@@ -263,6 +291,10 @@ object Similarity {
     * (multi-probe by union), exact cosine re-ranking within candidate
     * buckets. Recall rises with `tables`, cost with bucket size
     * (2^planes buckets).
+    *
+    * Dirty QUERY vectors (wrong length, null/non-finite elements, all-zero)
+    * get no buckets and return NO rows for that query_id (see [[ivfTopK]]
+    * for the rationale); dirty corpus vectors likewise drop from the index.
     */
   def lshTopK(
       corpus: DataFrame,

@@ -40,6 +40,12 @@ object SketchStreams {
     * election, with the same "exact" bound: two DIFFERENT same-length texts
     * colliding in wyhash64 would dedup as one — ~n^2/2^65 expected per
     * length class within the watermark horizon).
+    *
+    * STATE-SCHEMA NOTE: the dedup state key is (hash, length); earlier
+    * versions keyed on the hash alone. A streaming query restarted from a
+    * checkpoint written by the old key schema fails Spark's state-schema
+    * compatibility check — discard the old checkpoint (losing in-watermark
+    * dedup state for one horizon) when upgrading a live stream.
     */
   def streamingExactDedup(
       stream: DataFrame,
