@@ -102,12 +102,16 @@ object Bench {
       val secs = (1 to 2).map { _ => time(pagesJob(spark, pagesPath))._2 }
       pagesRows / secs.min
     }
-    // two interleaved visits per level decorrelate from transient load on
-    // this shared host (noisy-neighbor minutes are common); keep the best
+    // three interleaved visits per level decorrelate from transient load on
+    // this shared host (noisy-neighbor minutes are common — one observed
+    // window dragged the 2-core leg alone and read 2->8 at 0.77 where three
+    // adjacent runs read 0.93-0.95); keep the best per level
     val haveHighPair = cpus > 8
     val levelSet = if (haveHighPair) Seq(2, 8, cpus) else Seq(2, 8)
     val best = scala.collection.mutable.Map[Int, Double]().withDefaultValue(0.0)
-    (levelSet ++ levelSet).foreach { c => best(c) = math.max(best(c), jobRps(c)) }
+    (levelSet ++ levelSet ++ levelSet).foreach { c =>
+      best(c) = math.max(best(c), jobRps(c))
+    }
     val rps2 = best(2)
     val rps8 = best(8)
     val rpsFull = if (haveHighPair) best(cpus) else rps8
