@@ -245,14 +245,15 @@ object SparkEntry {
 
     // embedding-cosine near-dup pairs via hyperplane LSH. The raw embeddings
     // are random (zero true pairs at 0.9 — a vacuous gate), so 5 exact
-    // copies of the first vectors are planted under ids 10000+i: the gate
+    // copies of the first vectors are planted under ids 2^40+i (an offset
+    // no testdata regeneration can collide with): the gate
     // value 5 proves banding, capping, candidate rejoin, and the cosine
     // verify all still find precisely the planted structure — a silent
     // return-nothing regression can no longer pass
     "q_dedup_embedding_pairs" -> ((s, dir) => {
       val emb = read(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val planted = emb.filter(col("vec_id") < 5)
-        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+        .select((col("vec_id") + lit(1L << 40)).as("vec_id"), col("embedding"))
       graft.ops.Dedup.embeddingNearDupPairs(
         emb.union(planted), "vec_id", "embedding", dim = 64, threshold = 0.9)
         .agg(count(lit(1)).as("pairs"))

@@ -88,22 +88,31 @@ object Similarity {
     * The sample is a deterministic HASH-SPREAD sample: rows are ranked by
     * the wyhash of their vector content, the smallest hashes win, and exact
     * duplicate vectors collapse to ONE sample slot (driver-side dedup over a
-    * 2x-oversampled window, so a heavily-duplicated template — which shares
-    * one hash — cannot flood the window and crowd out other directions).
-    * Because the rank is a pure function of each row's VALUE, the sample
-    * (and therefore the centroids) is reproducible across runs,
-    * partitionings, and row orders, AND it draws from the whole corpus — a
-    * plain `limit(n)` would pull from whichever partitions scan first, so a
-    * corpus clustered by topic/source would train the quantizer on one
-    * unrepresentative slice and silently cost recall. The quantizer is thus
-    * trained over distinct vector VALUES, not row frequencies. The plan is
-    * a TakeOrderedAndProject: one scan, per-partition top-n heaps, no
-    * shuffle of the corpus.
+    * 2x-oversampled window). Because the rank is a pure function of each
+    * row's VALUE, the sample (and therefore the centroids) is reproducible
+    * across runs, partitionings, and row orders, AND it draws from the
+    * whole corpus — a plain `limit(n)` would pull from whichever partitions
+    * scan first, so a corpus clustered by topic/source would train the
+    * quantizer on one unrepresentative slice and silently cost recall. The
+    * quantizer is thus trained over distinct vector VALUES, not row
+    * frequencies. The plan is a TakeOrderedAndProject: one scan,
+    * per-partition top-n heaps, no shuffle of the corpus.
+    *
+    * BOUND of the dedup window: a single vector duplicated beyond
+    * ~2x`sampleSize` whose hash ranks inside the window still crowds out
+    * later distinct hashes (the window fills before they are seen; a loud
+    * warning is printed when most of the window collapses). For corpora
+    * with such extreme template skew, pre-deduplicate the vector column
+    * first — `Dedup.exactByColumns(corpus, Seq(vecCol))` — and train on the
+    * result; that pays one distinct-shuffle but only for corpora that need
+    * it.
     *
     * Dirty rows (null vectors, null elements, NaN/Inf components, lengths
-    * differing from the first valid vector) are excluded from the sample —
-    * the serving-side kernels tolerate the same shapes, so train and serve
-    * agree on what counts as data.
+    * differing from the majority length of the window — frequency-weighted
+    * BEFORE dedup, so diverse junk lengths cannot outvote a duplicated real
+    * dimension) are excluded from the sample — the serving-side kernels
+    * tolerate the same shapes, so train and serve agree on what counts as
+    * data.
     *
     * Returns normalized centroids for [[ivfTopK]] / `nearest_centroids`.
     * If the usable sample holds fewer than k DISTINCT directions, fewer
@@ -140,14 +149,19 @@ object Similarity {
           if (arr.exists(x => x.isNaN || x.isInfinite)) None else Some(arr)
         }
       }
-    val seen = scala.collection.mutable.HashSet[scala.collection.immutable.ArraySeq[Double]]()
-    val raw = collected.filter(a =>
-      seen.add(scala.collection.immutable.ArraySeq.unsafeWrapArray(a)))
+    val raw = collected
+      .distinctBy(a => scala.collection.immutable.ArraySeq.unsafeWrapArray(a))
       .take(sampleSize)
-    // dim by majority vote over the sample (ties -> smaller dim): a single
-    // junk-length vector that happens to win the hash order must not define
-    // the dimension and silently discard the real sample
-    val dim = raw.groupBy(_.length).toSeq
+    if (collected.length >= 2 * sampleSize && raw.length < sampleSize / 2)
+      System.err.println(s"[graft] trainIvfCentroids: the sample window " +
+        s"collapsed to ${raw.length} distinct vectors (of ${collected.length} " +
+        s"collected) — extreme template duplication; pre-deduplicate the " +
+        s"vector column (Dedup.exactByColumns) for a representative sample")
+    // dim by majority vote over the PRE-dedup window (ties -> smaller dim):
+    // neither a single junk-length row that wins the hash order nor many
+    // DISTINCT junk-length rows outvoting one heavily-duplicated real
+    // dimension may define dim and silently discard the real sample
+    val dim = collected.groupBy(_.length).toSeq
       .sortBy { case (len, vs) => (-vs.length, len) }
       .headOption.map(_._1).getOrElse(0)
     val sample = raw.filter(_.length == dim).map(normalize).filter(_ != null)
