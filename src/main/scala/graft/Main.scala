@@ -142,6 +142,45 @@ object Main {
             org.apache.spark.sql.functions.lit(1)).as("kept"))
           .write.mode("overwrite").parquet(out)
 
+      // Sketch-family soak: t-digest + KLL quantiles per lang over one
+      // aggregation pass; a Bloom filter of one language's urls probed
+      // against the whole corpus (broadcast, no shuffle of the probe side);
+      // count-min point frequencies of the lang column. Writes three small
+      // parquet outputs under <outDir>.
+      case "family-soak" =>
+        import org.apache.spark.sql.functions._
+        val Array(_, in, outDir) = args.take(3)
+        val lang = if (args.length > 3) args(3) else "de"
+        val pages = PagesTable.readFrom(spark, in)
+        pages.groupBy(col("lang"))
+          .agg(
+            graft.functions.tdigest_agg(length(col("text")).cast("double"), 100)
+              .as("td"),
+            graft.functions.kll_agg(length(col("text")).cast("double"), 256)
+              .as("k"),
+            count(lit(1)).as("rows"))
+          .select(col("lang"), col("rows"),
+            graft.functions.sketch_quantile(col("td"), 0.5).as("td_p50_len"),
+            graft.functions.sketch_quantile(col("td"), 0.99).as("td_p99_len"),
+            graft.functions.sketch_quantile(col("k"), 0.0).as("kll_min_len"),
+            graft.functions.sketch_quantile(col("k"), 1.0).as("kll_max_len"))
+          .write.mode("overwrite").parquet(s"$outDir/quantiles")
+        val bf = pages.filter(col("lang") === lang)
+          .agg(graft.functions.bloom_agg(col("url"), 4000000L, 0.01).as("bf"))
+          .collect()(0).getAs[Array[Byte]](0)
+        pages
+          .agg(
+            count(lit(1)).as("rows"),
+            sum(when(graft.functions.bloom_might_contain(lit(bf), col("url")), 1L)
+              .otherwise(0L)).as("bloom_hits"))
+          .write.mode("overwrite").parquet(s"$outDir/bloom")
+        val cms = pages.agg(graft.functions.cms_agg(col("lang"), 5, 4096).as("cms"))
+        pages.select(col("lang")).distinct().limit(8)
+          .crossJoin(broadcast(cms))
+          .select(col("lang"),
+            graft.functions.cms_estimate(col("cms"), col("lang")).as("cms_count"))
+          .write.mode("overwrite").parquet(s"$outDir/cms")
+
       // Transitive near-dup clustering soak: minhash LSH pairs feed the
       // convergence-checked label propagation (eager rounds, fixpoint
       // early-stop). Output: docs, clusters, and the largest cluster size.
