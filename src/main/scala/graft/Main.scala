@@ -15,6 +15,11 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Main <jar> generate-pages <outPath> <rows> <distinctUrls>
   * spark-submit --class graft.Main <jar> dedup-exact <pagesPath> <outPath>
   * spark-submit --class graft.Main <jar> dedup-minhash <pagesPath> <outPath> [threshold]
+  * spark-submit --class graft.Main <jar> dedup-simhash <pagesPath> <outPath> [maxHamming] [maxBucketSize]
+  * spark-submit --class graft.Main <jar> dedup-embedding <rows> <dim> <cloneRows> <outPath> [threshold] [maxBucketSize] [planes] [tables]
+  * spark-submit --class graft.Main <jar> dedup-cluster <pagesPath> <outPath> [threshold]
+  * spark-submit --class graft.Main <jar> family-soak <pagesPath> <outDir> [bloomLang]
+  * spark-submit --class graft.Main <jar> stream-soak <pagesPath> <outPath>
   * }}}
   *
   * No master/parallelism is hard-coded: cluster size, executor counts, AQE
@@ -180,6 +185,33 @@ object Main {
           .select(col("lang"),
             graft.functions.cms_estimate(col("cms"), col("lang")).as("cms_count"))
           .write.mode("overwrite").parquet(s"$outDir/cms")
+
+      // Structured-Streaming soak: the SAME sketchPerKey used by the driver
+      // gate, run over the pages table as a file stream (availableNow), so
+      // the streaming state-store path is measured at corpus scale rather
+      // than only at the 4-file gate size. Output: per-lang estimates from
+      // the final state.
+      case "stream-soak" =>
+        import org.apache.spark.sql.streaming.Trigger
+        val Array(_, in, out) = args.take(3)
+        spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
+        val schema = PagesTable.readFrom(spark, in).schema
+        val stream = spark.readStream.schema(schema).parquet(in)
+        val q = graft.streaming.SketchStreams
+          .sketchPerKey(stream, Seq("lang"), "url")
+          .writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName("graft_stream_soak")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft_stream_soak_").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table("graft_stream_soak")
+          .select(org.apache.spark.sql.functions.col("lang"),
+            org.apache.spark.sql.functions.col("approx_distinct"))
+          .write.mode("overwrite").parquet(out)
 
       // Transitive near-dup clustering soak: minhash LSH pairs feed the
       // convergence-checked label propagation (eager rounds, fixpoint
