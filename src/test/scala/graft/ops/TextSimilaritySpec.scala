@@ -203,5 +203,11 @@ class SimilaritySpec extends AnyFunSuite {
       queries, "qid", "qvec", k = 1, centroids, nProbe = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got(0L) == 0L && got(1L) == 1L, s"IVF serving broken: $got")
+    // a caller-side nProbe larger than the reduced centroid count must not
+    // throw — ivfTopK clamps it to centroids.length
+    val clamped = Similarity.ivfTopK(rows.toDF("id", "vec"), "id", "vec",
+      queries, "qid", "qvec", k = 1, centroids, nProbe = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clamped == got, s"clamped full probe diverged: $clamped vs $got")
   }
 }
