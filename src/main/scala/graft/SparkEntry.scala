@@ -383,6 +383,49 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
 
+    // IVF against a PERSISTED index: assignCells writes (id, vec, norm)
+    // partitioned by cell + a centroid sidecar; ivfTopKFromIndex probes with
+    // a literal partition filter (only the probed cell partitions are read —
+    // plan- and poison-asserted in sbt test). Fullprobe config here, so the
+    // result must equal brute force row for row -> independent DuckDB oracle
+    "q_ann_topk_ivf_indexed" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val centroids = graft.ops.Similarity.trainIvfCentroids(
+        emb, "embedding", k = 16, sampleSize = 2000)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString
+      graft.ops.Similarity.assignCells(emb, "vec_id", "embedding", centroids, idx)
+      graft.ops.Similarity.ivfTopKFromIndex(s, idx, queries, "qid", "qvec",
+        k = 3, nProbe = centroids.length)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    // cluster-aware near-dup dedup: transitive closure of the minhash pairs,
+    // keep the minimum id per connected component (chains A~B~C with A!~C
+    // now keep exactly one doc, unlike the one-pass minHashDedup contract)
+    "q_dedup_minhash_transitive" -> ((s, dir) =>
+      graft.ops.Dedup.minHashDedupTransitive(
+        read(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+        .agg(count(lit(1)).as("kept"))),
+
+    // multimodal REAL audio decode, driven end-to-end: deterministic PCM WAV
+    // test cards are encoded per doc_id (real javax.sound write), decoded by
+    // the real javax.sound reader in the batched partition transform, and
+    // every decoded field — including the RMS — is exactly predicted by the
+    // oracle (see Multimodal.renderAudioTestCard for the exactness argument)
+    "q_multimodal_audio" -> ((s, dir) => {
+      val ids = read(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 200)
+      graft.ops.Multimodal.decodeAudios(
+        graft.ops.Multimodal.renderAudioTestCards(ids, "doc_id"), "blob")
+        .select(col("doc_id"),
+          col("audio_meta.sample_rate").as("sample_rate"),
+          col("audio_meta.channels").cast("long").as("channels"),
+          col("audio_meta.bits_per_sample").cast("long").as("bits"),
+          col("audio_meta.duration_sec").as("duration_sec"),
+          col("audio_meta.rms").as("rms"))
+    }),
+
     // multimodal REAL image decode, driven end-to-end: deterministic
     // solid-gray PNG test cards are rendered per doc_id (real ImageIO
     // encode), decoded by the real javax.imageio reader in the batched
@@ -447,6 +490,53 @@ object SparkEntry {
         .select(col("event_type"),
           col("approx_distinct").as("distinct_user_buckets"),
           ce_estimate(col("sketch")).as("distinct_from_sketch"))
+    }),
+
+    // Streaming exact dedup through the driver gate: streamingExactDedup
+    // over a file stream (one file per micro-batch), with the query STOPPED
+    // and RESTARTED from its checkpoint between the two input halves. The
+    // (hash, length) dedup state crosses the restart through the state
+    // store, so a text whose first copy streamed before the restart still
+    // suppresses its duplicates after it — the final kept count must equal
+    // the exact COUNT(DISTINCT text) (all events share one event time far
+    // inside the watermark horizon). The parquet sink (not memory) is what
+    // makes the gate restart-sound: a memory sink would be wiped when the
+    // query restarts.
+    "q_stream_dedup_restore" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_dedup_").toString
+      val inDir = s"$base/in"
+      val outDir = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
+      val docs = read(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          to_timestamp(lit("2026-01-01 00:00:00")).as("ts"))
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .repartition(2).write.parquet(inDir)
+      def runToCompletion(): Unit = {
+        val stream = s.readStream
+          .schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(inDir)
+        val deduped = graft.streaming.SketchStreams.streamingExactDedup(
+          stream, "text", "ts", "1 hour")
+        val q = deduped.writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runToCompletion() // first half, one file per batch
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .repartition(2).write.mode("append").parquet(inDir)
+      runToCompletion() // restart from checkpoint; cross-half dupes must drop
+      s.read.parquet(outDir).agg(
+        count(lit(1)).as("kept"),
+        countDistinct(col("text")).as("kept_distinct"))
     }),
 
     // multimodal: binary blob features (decode stubs are exercised in sbt test)
@@ -601,6 +691,24 @@ object SparkEntry {
     // independent oracle: probing ALL cells makes IVF exactly brute force
     "q_ann_topk_ivf_fullprobe" ->
       "WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5) SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (SELECT q.qid, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id) rank FROM embeddings e, q) t WHERE rank <= 3",
+    // same independence for the PERSISTED index path: fullprobe-from-index
+    // must equal brute force row for row
+    "q_ann_topk_ivf_indexed" ->
+      "WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5) SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (SELECT q.qid, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id) rank FROM embeddings e, q) t WHERE rank <= 3",
+    // streaming dedup keyed on (wyhash64(text), length): kept count equals
+    // exact COUNT(DISTINCT text) (collision odds ~n^2/2^65 per length class),
+    // and kept_distinct == kept proves no duplicate text survived the restart
+    "q_stream_dedup_restore" ->
+      "SELECT COUNT(DISTINCT text) AS kept, COUNT(DISTINCT text) AS kept_distinct FROM documents",
+    // audio test cards decode to exactly-predictable metadata; the RMS is
+    // bit-exact because every sample magnitude is the (dyadic) amplitude —
+    // see Multimodal.renderAudioTestCard
+    "q_multimodal_audio" ->
+      ("SELECT doc_id, CAST(8000 AS DOUBLE) AS sample_rate, " +
+        "CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits, " +
+        "CAST(800 + (doc_id % 5) * 80 AS DOUBLE) / 8000.0 AS duration_sec, " +
+        "CAST(1000 + doc_id % 8000 AS DOUBLE) / 32768.0 AS rms " +
+        "FROM documents WHERE doc_id < 200"),
     // ------------------------------------------------------------------
     // DETERMINISM PINS — the queries below are approximate (HLL range) or
     // LSH/IVF-recall operators whose results have no SQL-expressible
@@ -623,6 +731,10 @@ object SparkEntry {
         "('R', 11173)) AS t(l_returnflag, approx_orderkeys)"),
     "q_dedup_minhash_count" ->
       "SELECT CAST(476 AS BIGINT) AS kept",
+    // transitive closure keeps <= the one-pass count (chains collapse to one
+    // survivor); pinned from this library at sf0.01 like the pin above
+    "q_dedup_minhash_transitive" ->
+      "SELECT CAST(476 AS BIGINT) AS kept",
     "q_dedup_simhash_pairs" ->
       "SELECT CAST(20 AS BIGINT) AS pairs",
     // the 5 planted exact copies (and nothing else: random 64-d vectors
@@ -639,11 +751,13 @@ object SparkEntry {
         "(0, 73, 2), (0, 51, 3), (1, 1, 1), (1, 441, 2), (1, 284, 3), " +
         "(2, 2, 1), (2, 97, 2), (2, 474, 3), (3, 3, 1), (3, 201, 2), (3, 85, 3), " +
         "(4, 4, 1), (4, 19, 2), (4, 337, 3)) AS t(query_id, neighbor_id, rank)"),
+    // (re-pinned when the IVF training key moved from the string cast to
+    // vec_hash64 — a different, equally-valid deterministic sample)
     "q_ann_topk_ivf" ->
       ("SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)), " +
-        "(0, 365, 2), (0, 423, 3), (1, 1, 1), (1, 386, 2), (1, 27, 3), " +
-        "(2, 2, 1), (2, 418, 2), (2, 471, 3), (3, 3, 1), (3, 130, 2), (3, 149, 3), " +
-        "(4, 4, 1), (4, 114, 2), (4, 496, 3)) AS t(query_id, neighbor_id, rank)"),
+        "(0, 334, 2), (0, 423, 3), (1, 1, 1), (1, 407, 2), (1, 195, 3), " +
+        "(2, 2, 1), (2, 450, 2), (2, 145, 3), (3, 3, 1), (3, 130, 2), (3, 149, 3), " +
+        "(4, 4, 1), (4, 408, 2), (4, 257, 3)) AS t(query_id, neighbor_id, rank)"),
     "q_multimodal_features" ->
       "SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS blob_bytes FROM documents",
     "q_multimodal_decode" ->

@@ -191,11 +191,84 @@ object VecOps {
     java.lang.Double.valueOf(matches.toDouble / denom)
   }
 
+  /** See VecHash64: wyhash64 over the little-endian element bit patterns.
+    * Boxed so a null element can yield NULL (callers that order by the hash
+    * must sort nulls last, or dirty rows hog the top of the order).
+    */
+  def hash64(a: ArrayData, aFloat: Boolean): java.lang.Long = {
+    val n = a.numElements()
+    val width = if (aFloat) 4 else 8
+    val bytes = new Array[Byte](n * width)
+    var i = 0
+    if (aFloat) {
+      while (i < n) {
+        if (a.isNullAt(i)) return null
+        val bits = java.lang.Float.floatToRawIntBits(a.getFloat(i))
+        val off = i * 4
+        bytes(off) = bits.toByte
+        bytes(off + 1) = (bits >>> 8).toByte
+        bytes(off + 2) = (bits >>> 16).toByte
+        bytes(off + 3) = (bits >>> 24).toByte
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        if (a.isNullAt(i)) return null
+        val bits = java.lang.Double.doubleToRawLongBits(a.getDouble(i))
+        val off = i * 8
+        var b = 0
+        while (b < 8) { bytes(off + b) = (bits >>> (8 * b)).toByte; b += 1 }
+        i += 1
+      }
+    }
+    java.lang.Long.valueOf(graft.core.WyHash.hash(bytes))
+  }
+
   private[sql] def isVec(dt: DataType): Option[Boolean] = dt match {
     case ArrayType(FloatType, _) => Some(true)
     case ArrayType(DoubleType, _) => Some(false)
     case _ => None
   }
+}
+
+/** Codegen'd content hash of an array<float>/array<double> column: wyhash64
+  * over the concatenated little-endian IEEE-754 bit patterns of the elements.
+  * Deterministic in the VALUE of the vector (equal content = equal hash
+  * regardless of partitioning or row order) — the hash-spread sample key for
+  * [[graft.ops.Similarity.trainIvfCentroids]], replacing its previous
+  * `wyhash64(cast(vec as string))` which paid a per-row decimal
+  * stringification of the whole corpus. A null element yields NULL (order
+  * with nulls last); distinct bit patterns (including -0.0 vs 0.0 and NaN
+  * payloads) hash distinctly, which is strictly finer than the string cast
+  * and equally valid as a spread key.
+  */
+case class VecHash64(child: Expression) extends UnaryExpression {
+  private def cFloat = VecOps.isVec(child.dataType).get
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecOps.isVec(child.dataType) match {
+      case Some(_) => TypeCheckResult.TypeCheckSuccess
+      case None => TypeCheckResult.TypeCheckFailure(
+        s"vec_hash64 expects an array<float|double> column, got ${child.dataType.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.hash64(a.asInstanceOf[ArrayData], cFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("vhash")
+      s"""
+         |java.lang.Long $r = graft.sql.VecOps.hash64($a, $cFloat);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "vec_hash64"
 }
 
 /** All `tables` hyperplane-LSH sign-bucket keys of a vector in ONE pass:

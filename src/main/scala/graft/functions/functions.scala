@@ -134,6 +134,12 @@ object functions {
     */
   def vec_eq_fraction(a: Column, b: Column): Column = toCol(VecEqFraction(ex(a), ex(b)))
 
+  /** Scalar: codegen'd wyhash64 of a vector's element bit patterns — a
+    * content hash that never stringifies the vector (NULL on null elements;
+    * order with nulls last).
+    */
+  def vec_hash64(a: Column): Column = toCol(VecHash64(ex(a)))
+
   /** Scalar: all `tables` hyperplane-LSH bucket keys of a vector in one
     * codegen'd pass (array<bigint> of length `tables`).
     */
@@ -264,6 +270,7 @@ object functions {
     "vec_dot" -> { args => VecDot(args(0), args(1)) },
     "vec_norm" -> { args => VecNorm(args.head) },
     "vec_eq_fraction" -> { args => VecEqFraction(args(0), args(1)) },
+    "vec_hash64" -> { args => VecHash64(args.head) },
     "hyperplane_buckets" -> { args =>
       HyperplaneBuckets(args(0), intArg(args(1), "dim"), intArg(args(2), "planes"),
         intArg(args(3), "tables"))

@@ -117,11 +117,20 @@ object Dedup {
     * an over-`maxBucketSize` bucket are not reported — at the thresholds
     * these operators serve, such buckets are boilerplate, and boilerplate
     * belongs to exact dedup, not near-dup LSH.
+    *
+    * The truncation is LOUD: an observe node over the per-bucket counts (no
+    * extra shuffle or action) measures the dropped-row share per run, warns
+    * on stderr past [[GraftMetrics.WarnDropFraction]], and exposes it via
+    * [[GraftMetrics.lastBucketCapStats]](opName) — a saturated-bucket corpus
+    * (e.g. simhash quarters beyond ~4M docs) can no longer silently read as
+    * "no near-duplicates".
     */
   private def dropOversizedBuckets(banded: DataFrame, bucketCol: String,
-      maxBucketSize: Int): DataFrame = {
-    val smallBuckets = banded.groupBy(col(bucketCol))
-      .agg(count(lit(1)).as("_bn"))
+      maxBucketSize: Int, opName: String): DataFrame = {
+    val counts = GraftMetrics.observeBucketCap(
+      banded.groupBy(col(bucketCol)).agg(count(lit(1)).as("_bn")),
+      opName, maxBucketSize)
+    val smallBuckets = counts
       .filter(col("_bn") <= maxBucketSize)
       .select(col(bucketCol))
     banded.join(smallBuckets, Seq(bucketCol))
@@ -139,7 +148,7 @@ object Dedup {
       col("_id"),
       explode(array((0 until bands).map(b =>
         minhash_band_key(col("_sig"), b, rowsPerBand)): _*)).as("_band"))
-    dropOversizedBuckets(banded, "_band", maxBucketSize)
+    dropOversizedBuckets(banded, "_band", maxBucketSize, "minhash")
   }
 
   /** MinHash-LSH candidate pairs: documents sharing >= 1 of `bands` band
@@ -242,6 +251,40 @@ object Dedup {
     df.join(losers, df(idCol) === col("_loser"), "left_anti")
   }
 
+  /** Cluster-aware near-dup dedup: keeps exactly ONE document (the minimum
+    * id) per TRANSITIVE near-duplicate cluster. [[minHashDedup]]'s one-pass
+    * contract keeps a doc whenever no direct pair dominates it, so a chain
+    * A~B~C with A!~C keeps both A and C; this variant first closes the pair
+    * list into connected components ([[nearDupClusters]]' min-label
+    * propagation with pointer jumping, eager convergence) and keeps each
+    * component's minimum. Costs the clustering rounds on top of one LSH pass
+    * — the pair list, not the corpus, drives that cost (isolated docs ride
+    * through one join).
+    *
+    * The survivor test is free: cluster labels ARE component minima, so a
+    * doc survives iff its label equals its own id — no extra per-cluster
+    * aggregation.
+    */
+  def minHashDedupTransitive(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      shingleSize: Int = 5,
+      maxBucketSize: Int = 10000,
+      cacheSignatures: Boolean = true,
+      iterations: Int = 20): DataFrame = {
+    val pairs = minHashNearDupPairs(df, idCol, textCol, threshold, numHashes, bands,
+      shingleSize, maxBucketSize, cacheSignatures)
+      .select(col("id_a"), col("id_b"))
+    val survivors = nearDupClusters(df.select(col(idCol)), idCol, pairs, iterations)
+      .filter(col(idCol) === col("cluster_id"))
+      .select(col(idCol))
+    df.join(survivors, Seq(idCol), "left_semi")
+  }
+
   /** Transitive near-duplicate clusters from a pair list: each round does one
     * hop of min-label propagation over the edges PLUS a pointer-jumping step
     * (label := label(label)), so round r covers chains of length ~2^r.
@@ -264,6 +307,9 @@ object Dedup {
       pairs: DataFrame, // (id_a, id_b) with id_a < id_b
       iterations: Int = 20,
       converge: Boolean = true): DataFrame = {
+    // iterations <= 0 would skip the loop entirely and return all-self labels
+    // while (with converge) printing a spurious budget-exhausted warning
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     // Materialized once (lazily): the pair list is typically itself an LSH
     // pipeline, and every iteration joins against it.
     val edges = pairs.select(col("id_a"), col("id_b"))
@@ -359,7 +405,7 @@ object Dedup {
           struct(lit(q).as("q"),
             shiftrightunsigned(col("_sh"), q * 16).bitwiseAND(lit(0xffffL)).as("v"))): _*))
           .as("_bucket")),
-      "_bucket", maxBucketSize)
+      "_bucket", maxBucketSize, "simhash")
     val a = banded.select(col("_bucket"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
     val b = banded.select(col("_bucket"), col("_id").as("id_b"), col("_sh").as("_sh_b"))
     a.join(b, Seq("_bucket"))
@@ -437,7 +483,7 @@ object Dedup {
         posexplode(hyperplane_buckets(col("_v"), dim, planes, tables)))
         .select(col("_id"),
           struct(col("pos").as("t"), col("col").as("b")).as("_bucket")),
-      "_bucket", maxBucketSize)
+      "_bucket", maxBucketSize, "embedding")
     val a = banded.select(col("_bucket"), col("_id").as("id_a"))
     val b = banded.select(col("_bucket"), col("_id").as("id_b"))
     val candidates = a.join(b, Seq("_bucket"))

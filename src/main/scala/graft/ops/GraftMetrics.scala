@@ -1,0 +1,110 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Runtime observability for the LSH bucket caps: dropping oversized buckets
+  * ([[Dedup]]'s `dropOversizedBuckets`) is the right quadratic-blowup trade,
+  * but silent truncation reads as "no near-dups found" when the real story is
+  * "the corpus saturated the buckets" (e.g. simhash's 4x16-bit quarters
+  * saturate around ~4M docs and the operator would quietly return near-zero
+  * pairs). The dropped-row share is therefore measured ON EVERY RUN and
+  * surfaced two ways:
+  *   - a loud stderr warning when the share exceeds [[WarnDropFraction]],
+  *     naming the operator and the fraction lost;
+  *   - programmatically via [[lastBucketCapStats]] for pipelines that must
+  *     gate on recall loss.
+  *
+  * The measurement is FREE at plan level: a `Dataset.observe` node over the
+  * per-bucket counts the cap already aggregates — no extra shuffle, no extra
+  * scan, no eager action (the plan stays a lazy builder; metrics fire through
+  * the QueryExecutionListener when the enclosing query actually runs).
+  */
+object GraftMetrics {
+
+  /** Dropped-row share of one capped LSH run. `bandedRows` counts (bucket,
+    * id) rows BEFORE the cap; `droppedRows` of them sat in buckets larger
+    * than `maxBucketSize` and were cut.
+    */
+  final case class BucketCapStats(
+      bandedRows: Long, droppedRows: Long, droppedBuckets: Long, maxBucketSize: Int) {
+    def droppedFraction: Double =
+      if (bandedRows <= 0) 0.0 else droppedRows.toDouble / bandedRows
+  }
+
+  /** Warn on stderr past this dropped-row share. */
+  val WarnDropFraction = 0.05
+
+  private val Prefix = "graft.bucket_cap."
+  // observe names must be unique per plan; the counter suffix keeps two caps
+  // of the same operator inside one composed query from colliding
+  private val nameCounter = new AtomicLong()
+  private val stats = new ConcurrentHashMap[String, BucketCapStats]()
+  private val registered = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  /** Latest observed cap stats for an operator ("minhash", "simhash",
+    * "embedding"), from the most recent completed action that evaluated its
+    * capped plan. The listener bus is asynchronous: stats land shortly AFTER
+    * the action returns, not within it.
+    */
+  def lastBucketCapStats(opName: String): Option[BucketCapStats] =
+    Option(stats.get(opName))
+
+  private[graft] def resetBucketCapStats(): Unit = stats.clear()
+
+  /** Wraps the per-bucket `(bucket, _bn)` count frame with the observation.
+    * maxBucketSize rides in the metric name (observe expressions must be
+    * aggregates or constants, and a name parse is simpler than a synthetic
+    * constant aggregate).
+    */
+  private[ops] def observeBucketCap(counts: DataFrame, opName: String,
+      maxBucketSize: Int): DataFrame = {
+    ensureListener(counts.sparkSession)
+    counts.observe(
+      s"$Prefix$opName#$maxBucketSize#${nameCounter.incrementAndGet()}",
+      coalesce(sum(col("_bn")), lit(0L)).as("banded_rows"),
+      coalesce(sum(when(col("_bn") > maxBucketSize, col("_bn"))), lit(0L))
+        .as("dropped_rows"),
+      count(when(col("_bn") > maxBucketSize, lit(1))).as("dropped_buckets"))
+  }
+
+  private def ensureListener(spark: SparkSession): Unit = {
+    if (registered.add(spark)) {
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith(Prefix)) {
+              name.stripPrefix(Prefix).split('#') match {
+                case Array(op, cap, _) =>
+                  val s = BucketCapStats(
+                    row.getAs[Long]("banded_rows"),
+                    row.getAs[Long]("dropped_rows"),
+                    row.getAs[Long]("dropped_buckets"),
+                    cap.toInt)
+                  stats.put(op, s)
+                  if (s.droppedFraction > WarnDropFraction)
+                    System.err.println(
+                      f"[graft] $op: bucket cap (maxBucketSize=${s.maxBucketSize}) " +
+                      f"dropped ${s.droppedRows} of ${s.bandedRows} banded rows " +
+                      f"(${s.droppedFraction * 100}%.1f%%) across ${s.droppedBuckets} " +
+                      f"oversized buckets — pairs inside those buckets are NOT " +
+                      f"reported; raise maxBucketSize, add planes/bands, or route " +
+                      f"boilerplate through exact dedup first")
+                case _ => ()
+              }
+            }
+          }
+        override def onFailure(funcName: String, qe: QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    }
+  }
+}

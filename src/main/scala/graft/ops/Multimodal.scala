@@ -277,6 +277,45 @@ object Multimodal {
       row => renderTestCard(row.getLong(idIdx)))
   }
 
+  /** Deterministic synthetic audio "test card": a mono 16-bit PCM WAV at
+    * 8 kHz (real `javax.sound` encode), `800 + (id % 5) * 80` frames of a
+    * Nyquist square wave with amplitude `1000 + id % 8000`. Every decoded
+    * field is EXACTLY predictable from the id — including the RMS, because
+    * every sample magnitude equals the amplitude and amp/32768 is a dyadic
+    * rational, so sum-of-squares, mean, and sqrt are all exact in IEEE-754:
+    * rms == (1000 + id % 8000) / 32768.0 bit-for-bit. This is the audio
+    * analog of [[renderTestCard]]: it lets a driver-checked oracle query
+    * exercise the REAL javax.sound decode path with no audio files in the
+    * testdata.
+    */
+  private[ops] def renderAudioTestCard(id: Long): Array[Byte] = {
+    val frames = 800 + (id % 5).toInt * 80
+    val amp = 1000 + (id % 8000).toInt
+    val data = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val s = (if (i % 2 == 0) amp else -amp).toShort
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new ByteArrayOutputStream()
+    try AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    finally ais.close()
+    bos.toByteArray
+  }
+
+  /** Appends a real WAV test-card blob per row of `idCol` (see renderAudioTestCard). */
+  def renderAudioTestCards(df: DataFrame, idCol: String, outCol: String = "blob",
+      batchSize: Int = DefaultBatchSize): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    appendBatchedRows(df, StructField(outCol, BinaryType), batchSize)(
+      row => renderAudioTestCard(row.getLong(idIdx)))
+  }
+
   /** Pure-column feature extraction that needs no codec at all: byte length +
     * content hash + magic-byte sniffing (real logic, not a stub).
     */

@@ -129,15 +129,19 @@ object Similarity {
       seed: Long = 42L): Array[Array[Double]] = {
     require(k >= 1, s"k must be >= 1, got $k")
     // content-hash spread: deterministic in the data multiset, covers every
-    // partition; the string cast is the stable canonical form of the vector.
-    // 2x oversample, then collapse exact duplicates (equal content = equal
-    // hash = adjacent in this order) so a hot duplicated vector takes one
-    // slot instead of the whole window.
-    val collected: Array[Array[Double]] = corpus.select(col(vecCol))
+    // partition; vec_hash64 hashes the element BIT PATTERNS in one codegen'd
+    // pass (the previous `wyhash64(cast(vec as string))` key stringified
+    // every vector in the corpus to decimal text just to rank the sample).
+    // Null-element vectors hash NULL and sort last — out of the window, like
+    // every other dirty shape. 2x oversample, then collapse exact duplicates
+    // (equal content = equal hash = adjacent in this order) so a hot
+    // duplicated vector takes one slot instead of the whole window.
+    val windowRows = corpus.select(col(vecCol))
       .filter(col(vecCol).isNotNull)
-      .orderBy(graft.functions.wyhash64(col(vecCol).cast("string")))
+      .orderBy(graft.functions.vec_hash64(col(vecCol)).asc_nulls_last)
       .limit(2 * sampleSize)
       .collect()
+    val collected: Array[Array[Double]] = windowRows
       .flatMap { r =>
         val seq = r.getSeq[Any](0)
         if (seq == null || seq.contains(null)) None
@@ -152,10 +156,14 @@ object Similarity {
     val raw = collected
       .distinctBy(a => scala.collection.immutable.ArraySeq.unsafeWrapArray(a))
       .take(sampleSize)
-    if (collected.length >= 2 * sampleSize && raw.length < sampleSize / 2)
+    // full-window test on the PRE-dirty-filter count from the limit: a window
+    // crowded by dirty rows plus heavy duplication must also warn (the old
+    // post-filter length test went silent exactly then)
+    if (windowRows.length >= 2 * sampleSize && raw.length < sampleSize / 2)
       System.err.println(s"[graft] trainIvfCentroids: the sample window " +
-        s"collapsed to ${raw.length} distinct vectors (of ${collected.length} " +
-        s"collected) — extreme template duplication; pre-deduplicate the " +
+        s"collapsed to ${raw.length} distinct usable vectors (of " +
+        s"${windowRows.length} collected, ${collected.length} clean) — extreme " +
+        s"template duplication or dirty-row crowding; pre-deduplicate/clean the " +
         s"vector column (Dedup.exactByColumns) for a representative sample")
     // dim by majority vote over the PRE-dedup window (ties -> smaller dim):
     // neither a single junk-length row that wins the hash order nor many
@@ -294,6 +302,117 @@ object Similarity {
     val candidates = corpusCells.join(broadcast(queryCells), Seq("_cell"))
       .select(col("query_id"), col("neighbor_id"),
         when(denom > 0, dot(col("_qv"), col("_cv")) / denom)
+          .otherwise(lit(0.0)).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted IVF index: build once, probe many. [[ivfTopK]] re-assigns
+  // every corpus row's cell on every call — correct, but at corpus scale the
+  // usage is one build and thousands of query batches. [[assignCells]]
+  // materializes (id, vec, norm, cell) PARTITIONED BY cell (plus a centroid
+  // sidecar), and [[ivfTopKFromIndex]] probes with a literal partition
+  // filter so the scan reads ONLY the nProbe probed cell partitions —
+  // partition pruning does the work, no corpus pass at query time.
+  // ------------------------------------------------------------------
+
+  /** Relative sidecar directory holding the centroids. The underscore prefix
+    * makes Spark's file listing ignore it when reading the index data (the
+    * same convention as _SUCCESS/_metadata), so the sidecar can live INSIDE
+    * the index path and travel with it.
+    */
+  private val CentroidsDir = "_centroids"
+
+  /** Builds the persisted IVF index at `indexPath`: every corpus row is
+    * assigned its nearest-centroid cell in one codegen'd kernel pass and
+    * written as (id, vec, norm) PARTITIONED BY cell; the centroids land in a
+    * `_centroids` parquet sidecar inside the index. Dirty vectors (wrong
+    * length, null/non-finite elements, all-zero) have no cell and are not
+    * indexed — the same policy as [[ivfTopK]]'s per-call assignment.
+    *
+    * `repartitionByCell` (default true) adds ONE build-time shuffle keyed on
+    * the cell so each cell is written by one task — without it, partitionBy
+    * makes every task write a file into every cell it sees (tasks x cells
+    * small files at 100 TB). Build cost is one scan + one shuffle, paid once;
+    * probes then prune to their cells.
+    */
+  def assignCells(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      centroids: Array[Array[Double]],
+      indexPath: String,
+      repartitionByCell: Boolean = true): Unit = {
+    val assigned = corpus.select(
+      col(corpusId).as("id"), col(corpusVec).as("vec"),
+      norm(col(corpusVec)).as("norm"),
+      get(graft.functions.nearest_centroids(col(corpusVec), centroids, 1), lit(0))
+        .as("cell"))
+      .filter(col("cell").isNotNull)
+    val laidOut = if (repartitionByCell) assigned.repartition(col("cell")) else assigned
+    laidOut.write.partitionBy("cell").mode("overwrite").parquet(indexPath)
+    // sidecar AFTER the data write: overwrite of the index dir must not wipe
+    // a fresh sidecar
+    val spark = corpus.sparkSession
+    val rows = centroids.toSeq.zipWithIndex.map { case (c, i) =>
+      (i, c.toSeq)
+    }
+    spark.createDataFrame(rows).toDF("idx", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/$CentroidsDir")
+  }
+
+  /** Reads the centroid sidecar of a persisted IVF index. */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Array[Array[Double]] =
+    spark.read.parquet(s"$indexPath/$CentroidsDir")
+      .orderBy(col("idx"))
+      .select(col("centroid"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** ANN top-k against a persisted IVF index ([[assignCells]]): each query
+    * probes its `nProbe` nearest cells, and the probed cell set — collected
+    * from the (small, broadcast-bound) query side — is pushed into the index
+    * scan as a LITERAL partition filter, so only the probed cell partitions
+    * are listed and read. With nProbe=4 of 1024 cells, the scan touches
+    * ~0.4% of the index regardless of corpus size; norms were computed at
+    * build time and never recomputed. Semantics match [[ivfTopK]] with the
+    * same centroids exactly (same kernel, same tie-breaks); dirty query
+    * vectors probe no cells and return no rows.
+    */
+  def ivfTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val centroids = loadCentroids(spark, indexPath)
+    val probe = math.min(nProbe, centroids.length)
+    val queryCells = queries.select(
+      col(queryId).as("query_id"), col(queryVec).as("_qv"),
+      norm(col(queryVec)).as("_qn"),
+      explode(graft.functions.nearest_centroids(col(queryVec), centroids, probe))
+        .as("_cell"))
+    // the query side is small by contract (it broadcasts into the join);
+    // collecting its distinct probed cells costs one tiny job and buys a
+    // literal IN over the partition column — static partition pruning, the
+    // strongest pruning Spark has
+    val probedCells: Array[Int] =
+      queryCells.select(col("_cell")).distinct().collect().map(_.getInt(0))
+    val index = spark.read.parquet(indexPath)
+    val pruned =
+      if (probedCells.isEmpty) index.filter(lit(false)) // all queries dirty
+      else index.filter(col("cell").isin(probedCells.map(c => c: Any): _*))
+    val denom = col("_qn") * col("norm")
+    val candidates = pruned
+      .join(broadcast(queryCells), pruned("cell") === queryCells("_cell"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        when(denom > 0, dot(col("_qv"), col("vec")) / denom)
           .otherwise(lit(0.0)).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))

@@ -116,4 +116,40 @@ class ScaleShapeSpec extends AnyFunSuite {
     val err = math.abs(got.toDouble - exact) / exact
     assert(err <= 1.04 / math.sqrt(4096.0) * 1.2, s"hot-key sketch $got vs exact $exact err $err")
   }
+
+  test("ANN top-k plans use WindowGroupLimit (map-side partial top-k), never a full per-query sort") {
+    // Spark 4 plans rank-filtered row_number windows as WindowGroupLimit:
+    // each map task keeps a k-heap per query before the exchange, so the
+    // shuffle carries O(queries x k) rows instead of the whole candidate
+    // set. A Spark upgrade or a threshold change silently losing this would
+    // turn every per-query top-k into a full per-query candidate sort at
+    // 100 TB — pin it for every ANN path.
+    val dim = 8
+    def unit(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(dim)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val corpus = (0 until 200).map(i => (i.toLong, unit(i))).toDF("id", "vec")
+    val queries = (0 until 3).map(i => (i.toLong, unit(1000 + i))).toDF("qid", "qvec")
+    val centroids = graft.ops.Similarity.trainIvfCentroids(corpus, "vec", k = 4,
+      sampleSize = 200)
+    val idx = Files.createTempDirectory("graft_ivf_wgl_").toString
+    graft.ops.Similarity.assignCells(corpus, "id", "vec", centroids, idx)
+    val plans = Seq(
+      "bruteForceTopK" -> graft.ops.Similarity.bruteForceTopK(
+        corpus, "id", "vec", queries, "qid", "qvec", 3),
+      "lshTopK" -> graft.ops.Similarity.lshTopK(
+        corpus, "id", "vec", queries, "qid", "qvec", 3, dim, planes = 6, tables = 2),
+      "ivfTopK" -> graft.ops.Similarity.ivfTopK(
+        corpus, "id", "vec", queries, "qid", "qvec", 3, centroids, nProbe = 2),
+      "ivfTopKFromIndex" -> graft.ops.Similarity.ivfTopKFromIndex(
+        spark, idx, queries, "qid", "qvec", 3, nProbe = 2))
+    plans.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name lost the WindowGroupLimit partial top-k:\n$plan")
+    }
+  }
 }

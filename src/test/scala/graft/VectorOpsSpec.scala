@@ -151,5 +151,43 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(!fallback.isAssignableFrom(classOf[graft.sql.VecDot]))
     assert(!fallback.isAssignableFrom(classOf[graft.sql.VecNorm]))
     assert(!fallback.isAssignableFrom(classOf[graft.sql.VecEqFraction]))
+    assert(!fallback.isAssignableFrom(classOf[graft.sql.VecHash64]))
+  }
+
+  test("vec_hash64: wyhash of the element bit patterns; content-equal => hash-equal") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, -3.5f)),
+      (2L, Array(1.0f, 2.0f, -3.5f)), // same content, different row
+      (3L, Array(2.0f, 1.0f, -3.5f)), // permuted -> different
+      (4L, Array.empty[Float])
+    ).toDF("id", "v")
+    val h = df.select($"id", vec_hash64($"v").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L), "equal content must hash equal")
+    assert(h(1L) != h(3L), "permuted content must hash differently")
+    // pins the definition: wyhash64 over the concatenated little-endian
+    // IEEE-754 bit patterns (the independent driver-side formulation)
+    def le(fs: Array[Float]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(fs.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      fs.foreach(f => bb.putInt(java.lang.Float.floatToRawIntBits(f)))
+      bb.array()
+    }
+    assert(h(1L) == graft.core.WyHash.hash(le(Array(1.0f, 2.0f, -3.5f))))
+    assert(h(4L) == graft.core.WyHash.hash(Array.empty[Byte]))
+    // double vectors hash over 8-byte patterns (1.0f bits != 1.0d bits)
+    val hd = Seq((1L, Array(1.0d, 2.0d, -3.5d))).toDF("id", "v")
+      .select(vec_hash64($"v")).collect()(0).getLong(0)
+    assert(hd != h(1L), "float and double content are different bit patterns")
+    // null element -> NULL (callers order with nulls LAST)
+    val withNull = Seq(Tuple1(Array[java.lang.Float](1.0f, null)))
+      .toDF("v").select(vec_hash64($"v")).collect()(0)
+    assert(withNull.isNullAt(0), "null element must yield NULL")
+    // SQL registration
+    graft.functions.registerAll(spark)
+    val sql = spark.sql(
+      "SELECT vec_hash64(array(cast(1.0 as float), cast(2.0 as float), cast(-3.5 as float)))")
+      .collect()(0).getLong(0)
+    assert(sql == h(1L))
   }
 }

@@ -347,4 +347,74 @@ class DedupSpec extends AnyFunSuite {
       s"expected banding in plan:\n$plan")
     assert(!plan.toLowerCase.contains("shingle_set"), s"shingles must not shuffle:\n$plan")
   }
+
+  /** The bucket-cap metric lands via the async listener bus — poll briefly. */
+  private def awaitCapStats(op: String, timeoutMs: Long = 20000): GraftMetrics.BucketCapStats = {
+    val end = System.currentTimeMillis + timeoutMs
+    while (System.currentTimeMillis < end) {
+      GraftMetrics.lastBucketCapStats(op) match {
+        case Some(s) => return s
+        case None => Thread.sleep(50)
+      }
+    }
+    fail(s"no bucket-cap stats recorded for '$op' within ${timeoutMs}ms")
+  }
+
+  test("bucket-cap truncation is LOUD: dropped-row share lands in GraftMetrics") {
+    GraftMetrics.resetBucketCapStats()
+    // same skew fixture as the cap test: 60 identical docs saturate all four
+    // simhash quarter buckets at cap 50; 2 normal docs band into small buckets
+    val boiler = (0 until 60).map(i => (100L + i, "boilerplate legal footer " +
+      "all rights reserved contact us terms of service privacy policy"))
+    val near = Seq((1L, baseText), (2L, mutate(baseText, 1, 3)))
+    val docs = (boiler ++ near).toDF("doc_id", "text")
+    Dedup.simHashNearDupPairs(docs, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 50).collect()
+    val s = awaitCapStats("simhash")
+    // 62 docs x 4 quarters banded; the 4 boilerplate quarter buckets (60
+    // rows each) are all over cap -> >= 240 of 248 rows dropped
+    assert(s.bandedRows == 248, s"banded: $s")
+    assert(s.droppedRows >= 240, s"dropped: $s")
+    assert(s.droppedBuckets >= 4, s"buckets: $s")
+    assert(s.maxBucketSize == 50, s"cap: $s")
+    assert(s.droppedFraction > GraftMetrics.WarnDropFraction,
+      s"this fixture must cross the warn threshold: $s")
+    // and an uncapped run records ZERO dropped rows (metric, not just pairs)
+    GraftMetrics.resetBucketCapStats()
+    Dedup.simHashNearDupPairs(docs, "doc_id", "text", maxHamming = 3).collect()
+    val clean = awaitCapStats("simhash")
+    assert(clean.droppedRows == 0 && clean.bandedRows == 248, s"uncapped: $clean")
+  }
+
+  test("minHashDedupTransitive: a near-dup CHAIN keeps exactly its minimum id") {
+    // sliding-window chain: doc i covers words [6i, 6i+60) of a 200-word
+    // pool — adjacent docs share 54/66 words (Jaccard ~0.82 on shingles),
+    // chain ends share nothing. Deterministic: fixed texts, fixed hashes.
+    val rnd = new scala.util.Random(7)
+    val pool = Array.tabulate(200)(i => s"w${i}x${rnd.nextInt(1000)}")
+    def doc(i: Int): String = pool.slice(6 * i, 6 * i + 60).mkString(" ")
+    val chain = (0 until 8).map(i => (10L + i, doc(i)))
+    val isolated = Seq((900L, baseText), (901L, mutate(baseText, 30, 99)))
+    val docs = (chain ++ isolated).toDF("doc_id", "text")
+    // 32 bands of 4 rows: P(band hit) at J=0.8 is 1-(1-0.8^4)^32 ~ 1.0,
+    // so every genuine link banding together is structural, not luck
+    val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text", threshold = 0.7,
+      numHashes = 128, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fixture sanity: adjacent chain links pair, chain ends do not
+    (0 until 7).foreach(i => assert(pairs.contains((10L + i, 11L + i)),
+      s"chain link $i missing from pairs: $pairs"))
+    assert(!pairs.contains((10L, 17L)), s"chain ends must NOT pair directly: $pairs")
+    // one-pass dedup keeps a doc whenever no DIRECT pair dominates it;
+    // transitive dedup must collapse the whole chain to its minimum
+    val kept = Dedup.minHashDedupTransitive(docs, "doc_id", "text", threshold = 0.7,
+      numHashes = 128, bands = 32)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(10L), s"chain minimum must survive: $kept")
+    assert((11L until 18L).forall(i => !kept.contains(i)),
+      s"chain must keep EXACTLY one: $kept")
+    assert(kept.contains(900L) && kept.contains(901L),
+      s"isolated docs must survive: $kept")
+    assert(kept.size == 3, s"expected {10, 900, 901}: $kept")
+  }
 }

@@ -137,4 +137,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decoded == 100L, s"exactly the planted PNGs must decode, got $decoded")
     out.unpersist()
   }
+
+  test("renderAudioTestCards: REAL WAV round-trip with BIT-EXACT predicted metadata") {
+    // the audio analog of the PNG test cards: every decoded field, including
+    // the RMS, is an exact closed-form function of the id (see
+    // renderAudioTestCard's exactness argument)
+    val ids = (0L until 12L).map(Tuple1(_)).toDF("doc_id")
+    val out = Multimodal.decodeAudios(
+      Multimodal.renderAudioTestCards(ids, "doc_id"), "blob")
+      .select($"doc_id",
+        $"audio_meta.sample_rate", $"audio_meta.channels",
+        $"audio_meta.bits_per_sample", $"audio_meta.duration_sec",
+        $"audio_meta.rms")
+      .collect()
+    assert(out.length == 12)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getDouble(1) == 8000.0, s"sample_rate id=$id: $r")
+      assert(r.getInt(2) == 1 && r.getInt(3) == 16, s"channels/bits id=$id: $r")
+      assert(r.getDouble(4) == (800 + (id % 5) * 80).toDouble / 8000.0,
+        s"duration id=$id: $r")
+      assert(r.getDouble(5) == (1000 + id % 8000).toDouble / 32768.0,
+        s"rms must be bit-exact, id=$id: $r")
+    }
+  }
 }

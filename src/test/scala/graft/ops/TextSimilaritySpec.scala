@@ -210,4 +210,58 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clamped == got, s"clamped full probe diverged: $clamped vs $got")
   }
+
+  test("persisted IVF index: fullprobe == brute force; probes PRUNE partitions (poison proof)") {
+    val dim = 8
+    val corpus = (0 until 400).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
+    val centroids = Similarity.trainIvfCentroids(corpus, "vec", k = 8, sampleSize = 400)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_index_").toString
+    Similarity.assignCells(corpus, "id", "vec", centroids, idx)
+    // sidecar round-trips bit-exactly
+    val loaded = Similarity.loadCentroids(spark, idx)
+    assert(loaded.length == centroids.length &&
+      loaded.zip(centroids).forall { case (a, b) => a.sameElements(b) },
+      "centroid sidecar must round-trip exactly")
+    val queries = (0 until 5).map(i => (i.toLong, jitter(unitVec(dim, i), 0.02f, 900 + i)))
+      .toDF("qid", "qvec")
+    // fullprobe-from-index must equal brute force row for row
+    val full = Similarity.ivfTopKFromIndex(spark, idx, queries, "qid", "qvec",
+      k = 3, nProbe = centroids.length)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(corpus, "id", "vec", queries, "qid", "qvec", 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == brute, s"indexed fullprobe diverged from brute force")
+    // PRUNING PROOF: poison every cell partition the nProbe=1 queries do NOT
+    // probe — if the pruned scan listed or read those partitions, the query
+    // would throw on the garbage files; completing proves partition pruning
+    // works at the I/O level, not just in the plan text
+    val probed = queries.select(
+      explode(graft.functions.nearest_centroids($"qvec", loaded, 1)).as("c"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val allCells = spark.read.parquet(idx).select($"cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val unprobed = allCells -- probed
+    assert(unprobed.nonEmpty, s"fixture broken: queries probe every cell ($probed)")
+    unprobed.foreach { c =>
+      val dir = java.nio.file.Paths.get(idx, s"cell=$c")
+      java.nio.file.Files.list(dir).forEach { f =>
+        if (f.getFileName.toString.endsWith(".parquet"))
+          java.nio.file.Files.write(f, "poisoned-not-a-parquet-file".getBytes("UTF-8"))
+      }
+    }
+    val pruned = Similarity.ivfTopKFromIndex(spark, idx, queries, "qid", "qvec",
+      k = 1, nProbe = 1)
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("cell"),
+      s"no literal partition filter on the index scan:\n$planStr")
+    val got = pruned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "pruned probe returned nothing")
+    // non-vacuous poison: a probe that DOES touch the poisoned cells fails
+    intercept[Exception] {
+      Similarity.ivfTopKFromIndex(spark, idx, queries, "qid", "qvec",
+        k = 1, nProbe = loaded.length).collect()
+    }
+  }
 }
