@@ -131,8 +131,11 @@ object Bench {
       s""""hw_frequency_ceiling":${f"$hwCeiling%.3f"},"efficiency_vs_hw_ceiling":${f"$effHighNorm%.3f"},""" +
       // absolute clock proxy: single-thread pure-CPU sketch inserts/s on
       // THIS host minute — divide flagship rows/s by this to compare
-      // software across rounds on a shared box whose clock wanders
-      s""""hw_single_thread_inserts_per_sec":${hwSingleThreadRate.round}}"""
+      // software across rounds on a shared box whose clock wanders; the
+      // pre-divided ratio is emitted too so cross-round comparisons read
+      // one host-independent number (round 3 measured ~0.50-0.55)
+      s""""hw_single_thread_inserts_per_sec":${hwSingleThreadRate.round},""" +
+      s""""flagship_rows_per_single_thread_insert":${f"${rpsFull / hwSingleThreadRate}%.4f"}}"""
     else ""
     // stop the session BEFORE printing: the JSON must be the last line of
     // output so no shutdown logging can push it out of a capture window

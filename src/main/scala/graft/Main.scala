@@ -20,6 +20,7 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Main <jar> dedup-cluster <pagesPath> <outPath> [threshold]
   * spark-submit --class graft.Main <jar> family-soak <pagesPath> <outDir> [bloomLang]
   * spark-submit --class graft.Main <jar> stream-soak <pagesPath> <outPath>
+  * spark-submit --class graft.Main <jar> ivf-index-soak <rows> <dim> <outPath> [k] [nProbe] [batches]
   * }}}
   *
   * No master/parallelism is hard-coded: cluster size, executor counts, AQE
@@ -274,6 +275,55 @@ object Main {
           threshold, planes = planes, tables = tables, maxBucketSize = maxBucketSize)
           .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("pairs"))
+          .write.mode("overwrite").parquet(out)
+
+      // Persisted-IVF soak: train + build the cell-partitioned index ONCE
+      // over synthesized vectors, then run repeated query batches through
+      // ivfTopKFromIndex (partition-pruned probes), plus one legacy ivfTopK
+      // call (retrain-free but full re-assignment scan) for the measured
+      // build-once/probe-many contrast. Output: one row of timings + counts.
+      case "ivf-index-soak" =>
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        val Array(_, rowsS, dimS, out) = args.take(4)
+        val (rows, dim) = (rowsS.toLong, dimS.toInt)
+        val kCentroids = if (args.length > 4) args(4).toInt else 256
+        val nProbe = if (args.length > 5) args(5).toInt else 8
+        val batches = if (args.length > 6) args(6).toInt else 5
+        val randomVec = array((0 until dim).map(j =>
+          ((functions.wyhash64(col("id") * dim + j)
+            .cast("double") / lit(Long.MaxValue.toDouble))).cast("float")): _*)
+        val vecs = spark.range(rows).select(col("id").as("vec_id"),
+          randomVec.as("embedding"))
+        def secs[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime()
+          val a = f
+          (a, (System.nanoTime() - t0) / 1e9)
+        }
+        val (centroids, trainSec) =
+          secs(graft.ops.Similarity.trainIvfCentroids(vecs, "embedding", kCentroids))
+        val idxPath =
+          java.nio.file.Files.createTempDirectory("graft_ivf_soak_idx_").toString
+        val (_, buildSec) = secs(graft.ops.Similarity.assignCells(
+          vecs, "vec_id", "embedding", centroids, idxPath))
+        val stride = math.max(rows / 100, 1L)
+        val queries = vecs.filter(pmod(col("vec_id"), lit(stride)) === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        var probeRows = 0L
+        val probeSecs = (1 to batches).map { _ =>
+          val (n, s) = secs(graft.ops.Similarity.ivfTopKFromIndex(
+            spark, idxPath, queries, "qid", "qvec", k = 10, nProbe).count())
+          probeRows = n
+          s
+        }
+        val (legacyRows, legacySec) = secs(graft.ops.Similarity.ivfTopK(
+          vecs, "vec_id", "embedding", queries, "qid", "qvec",
+          k = 10, centroids, nProbe).count())
+        Seq((rows, dim, centroids.length, nProbe, trainSec, buildSec,
+          probeSecs.min, probeSecs.sum / batches, probeRows, legacySec, legacyRows))
+          .toDF("rows", "dim", "centroids", "n_probe", "train_sec", "build_sec",
+            "probe_min_sec", "probe_avg_sec", "probe_rows",
+            "legacy_scan_sec", "legacy_rows")
           .write.mode("overwrite").parquet(out)
 
       case other =>
