@@ -20,7 +20,7 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Main <jar> dedup-cluster <pagesPath> <outPath> [threshold]
   * spark-submit --class graft.Main <jar> family-soak <pagesPath> <outDir> [bloomLang]
   * spark-submit --class graft.Main <jar> stream-soak <pagesPath> <outPath>
-  * spark-submit --class graft.Main <jar> ivf-index-soak <rows> <dim> <outPath> [k] [nProbe] [batches]
+  * spark-submit --class graft.Main <jar> ivf-index-soak <rows> <dim> <indexPath> <outPath> [k] [nProbe] [batches]
   * }}}
   *
   * No master/parallelism is hard-coded: cluster size, executor counts, AQE
@@ -54,6 +54,18 @@ object Main {
         s"${counts.getLong(1)} distinct — table too large for the generator's " +
         "(url, warc_ts) period; regenerate with fewer rows or more distinct urls")
     pages
+  }
+
+  /** Deterministic synthetic embeddings shared by the embedding soaks:
+    * component (row, j) is wyhash-derived uniform in [-1, 1) — one
+    * definition so cross-soak numbers stay comparable.
+    */
+  private def syntheticVecs(spark: SparkSession, rows: Long, dim: Int) = {
+    import org.apache.spark.sql.functions._
+    val randomVec = array((0 until dim).map(j =>
+      ((functions.wyhash64(col("id") * dim + j)
+        .cast("double") / lit(Long.MaxValue.toDouble))).cast("float")): _*)
+    spark.range(rows).select(col("id").as("vec_id"), randomVec.as("embedding"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -265,12 +277,9 @@ object Main {
         val tables = if (args.length > 8) args(8).toInt else 6
         val template = array((0 until dim).map(j =>
           lit(math.sin(j * 0.7).toFloat)): _*)
-        val randomVec = array((0 until dim).map(j =>
-          // uniform in [-1, 1), deterministic per (row, component)
-          ((functions.wyhash64(col("id") * dim + j)
-            .cast("double") / lit(Long.MaxValue.toDouble))).cast("float")): _*)
-        val vecs = spark.range(rows).select(col("id").as("vec_id"),
-          when(col("id") < cloneRows, template).otherwise(randomVec).as("embedding"))
+        val vecs = syntheticVecs(spark, rows, dim).select(col("vec_id"),
+          when(col("vec_id") < cloneRows, template).otherwise(col("embedding"))
+            .as("embedding"))
         Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", dim,
           threshold, planes = planes, tables = tables, maxBucketSize = maxBucketSize)
           .agg(org.apache.spark.sql.functions.count(
@@ -285,16 +294,16 @@ object Main {
       case "ivf-index-soak" =>
         import org.apache.spark.sql.functions._
         import spark.implicits._
-        val Array(_, rowsS, dimS, out) = args.take(4)
+        need(args, 5, "<rows> <dim> <indexPath> <outPath> [k] [nProbe] [batches]")
+        // indexPath is a CLI arg (not a driver-local temp dir): on a real
+        // cluster the index must land on the shared filesystem, and the
+        // caller owns its lifecycle
+        val Array(_, rowsS, dimS, idxPath, out) = args.take(5)
         val (rows, dim) = (rowsS.toLong, dimS.toInt)
-        val kCentroids = if (args.length > 4) args(4).toInt else 256
-        val nProbe = if (args.length > 5) args(5).toInt else 8
-        val batches = if (args.length > 6) args(6).toInt else 5
-        val randomVec = array((0 until dim).map(j =>
-          ((functions.wyhash64(col("id") * dim + j)
-            .cast("double") / lit(Long.MaxValue.toDouble))).cast("float")): _*)
-        val vecs = spark.range(rows).select(col("id").as("vec_id"),
-          randomVec.as("embedding"))
+        val kCentroids = if (args.length > 5) args(5).toInt else 256
+        val nProbe = if (args.length > 6) args(6).toInt else 8
+        val batches = if (args.length > 7) args(7).toInt else 5
+        val vecs = syntheticVecs(spark, rows, dim)
         def secs[A](f: => A): (A, Double) = {
           val t0 = System.nanoTime()
           val a = f
@@ -302,8 +311,6 @@ object Main {
         }
         val (centroids, trainSec) =
           secs(graft.ops.Similarity.trainIvfCentroids(vecs, "embedding", kCentroids))
-        val idxPath =
-          java.nio.file.Files.createTempDirectory("graft_ivf_soak_idx_").toString
         val (_, buildSec) = secs(graft.ops.Similarity.assignCells(
           vecs, "vec_id", "embedding", centroids, idxPath))
         val stride = math.max(rows / 100, 1L)

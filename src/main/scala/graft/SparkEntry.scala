@@ -509,7 +509,17 @@ object SparkEntry {
       val outDir = s"$base/out"
       val ckpt = s"$base/ckpt"
       s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
-      val docs = read(s, dir, "documents")
+      // PLANT restart-crossing duplicates: the sf0.01 documents table has no
+      // duplicate texts at all, so without planting, kept == COUNT(DISTINCT)
+      // would hold even if the restart dropped ALL dedup state (a vacuous
+      // gate). Each planted copy flips parity (2^40 + 1 is odd), so the
+      // copy always streams in the OTHER half than its original — every
+      // planted duplicate crosses the checkpoint restart, and a lost state
+      // store would let all 20 copies through (kept > distinct -> gate fails).
+      val rawDocs = read(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = rawDocs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + lit((1L << 40) + 1L)).as("doc_id"), col("text"))
+      val docs = rawDocs.union(planted)
         .select(col("doc_id"), col("text"),
           to_timestamp(lit("2026-01-01 00:00:00")).as("ts"))
       docs.filter(pmod(col("doc_id"), lit(2)) === 0)
@@ -697,7 +707,11 @@ object SparkEntry {
       "WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5) SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (SELECT q.qid, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id) rank FROM embeddings e, q) t WHERE rank <= 3",
     // streaming dedup keyed on (wyhash64(text), length): kept count equals
     // exact COUNT(DISTINCT text) (collision odds ~n^2/2^65 per length class),
-    // and kept_distinct == kept proves no duplicate text survived the restart
+    // and kept_distinct == kept proves no duplicate text survived the
+    // restart. The Spark side PLANTS 20 copies that each stream in the
+    // opposite half from their original, so a restart that lost the dedup
+    // state would emit them and fail this count (non-vacuous even though
+    // the raw sf0.01 table has no duplicate texts).
     "q_stream_dedup_restore" ->
       "SELECT COUNT(DISTINCT text) AS kept, COUNT(DISTINCT text) AS kept_distinct FROM documents",
     // audio test cards decode to exactly-predictable metadata; the RMS is

@@ -42,20 +42,34 @@ object GraftMetrics {
 
   private val Prefix = "graft.bucket_cap."
   // observe names must be unique per plan; the counter suffix keeps two caps
-  // of the same operator inside one composed query from colliding
+  // of the same operator inside one composed query from colliding — and
+  // doubles as the "which plan is newest" order for lastBucketCapStats
   private val nameCounter = new AtomicLong()
-  private val stats = new ConcurrentHashMap[String, BucketCapStats]()
+  // per-op ring of (plan counter -> stats), bounded so a long-running
+  // pipeline can't accumulate entries forever; TreeMap keeps counter order
+  private val MaxStatsPerOp = 64
+  private val stats = new ConcurrentHashMap[
+    String, scala.collection.immutable.TreeMap[Long, BucketCapStats]]()
   private val registered = java.util.Collections.synchronizedSet(
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
-  /** Latest observed cap stats for an operator ("minhash", "simhash",
-    * "embedding"), from the most recent completed action that evaluated its
-    * capped plan. The listener bus is asynchronous: stats land shortly AFTER
-    * the action returns, not within it.
+  /** Cap stats of the NEWEST capped plan built for an operator ("minhash",
+    * "simhash", "embedding") that has reported — "newest" by plan-creation
+    * order (the observe counter), not listener arrival order, so two capped
+    * runs of the same operator cannot clobber each other into reading the
+    * wrong run's drop share. The listener bus is asynchronous: stats land
+    * shortly AFTER the action returns, not within it.
     */
   def lastBucketCapStats(opName: String): Option[BucketCapStats] =
-    Option(stats.get(opName))
+    Option(stats.get(opName)).flatMap(_.lastOption.map(_._2))
+
+  /** All recorded cap stats for an operator, oldest plan first (bounded to
+    * the most recent [[MaxStatsPerOp]] plans) — for pipelines gating on the
+    * recall loss of a SPECIFIC run among several.
+    */
+  def allBucketCapStats(opName: String): Seq[BucketCapStats] =
+    Option(stats.get(opName)).map(_.values.toSeq).getOrElse(Seq.empty)
 
   private[graft] def resetBucketCapStats(): Unit = stats.clear()
 
@@ -83,13 +97,20 @@ object GraftMetrics {
           qe.observedMetrics.foreach { case (name, row) =>
             if (name.startsWith(Prefix)) {
               name.stripPrefix(Prefix).split('#') match {
-                case Array(op, cap, _) =>
+                case Array(op, cap, counter) =>
                   val s = BucketCapStats(
                     row.getAs[Long]("banded_rows"),
                     row.getAs[Long]("dropped_rows"),
                     row.getAs[Long]("dropped_buckets"),
                     cap.toInt)
-                  stats.put(op, s)
+                  stats.compute(op, (_, old) => {
+                    val base = if (old == null)
+                      scala.collection.immutable.TreeMap.empty[Long, BucketCapStats]
+                    else old
+                    val next = base + (counter.toLong -> s)
+                    if (next.size > MaxStatsPerOp) next.drop(next.size - MaxStatsPerOp)
+                    else next
+                  })
                   if (s.droppedFraction > WarnDropFraction)
                     System.err.println(
                       f"[graft] $op: bucket cap (maxBucketSize=${s.maxBucketSize}) " +

@@ -283,14 +283,16 @@ object Multimodal {
     * field is EXACTLY predictable from the id — including the RMS, because
     * every sample magnitude equals the amplitude and amp/32768 is a dyadic
     * rational, so sum-of-squares, mean, and sqrt are all exact in IEEE-754:
-    * rms == (1000 + id % 8000) / 32768.0 bit-for-bit. This is the audio
+    * rms == (1000 + floorMod(id, 8000)) / 32768.0 bit-for-bit. This is the audio
     * analog of [[renderTestCard]]: it lets a driver-checked oracle query
     * exercise the REAL javax.sound decode path with no audio files in the
     * testdata.
     */
   private[ops] def renderAudioTestCard(id: Long): Array[Byte] = {
-    val frames = 800 + (id % 5).toInt * 80
-    val amp = 1000 + (id % 8000).toInt
+    // floorMod: Scala's signed % would make a negative id's amplitude
+    // non-positive (even zero), silently breaking the bit-exact RMS contract
+    val frames = 800 + Math.floorMod(id, 5L).toInt * 80
+    val amp = 1000 + Math.floorMod(id, 8000L).toInt
     val data = new Array[Byte](frames * 2)
     var i = 0
     while (i < frames) {

@@ -353,7 +353,14 @@ object Similarity {
         .as("cell"))
       .filter(col("cell").isNotNull)
     val laidOut = if (repartitionByCell) assigned.repartition(col("cell")) else assigned
-    laidOut.write.partitionBy("cell").mode("overwrite").parquet(indexPath)
+    // STATIC overwrite forced per-write: under the session-level
+    // partitionOverwriteMode=dynamic a REBUILD with retrained centroids
+    // would only replace cells present in the new assignment — stale cell
+    // directories from the old centroid map would survive next to the new
+    // sidecar and serve wrong neighbors with no error
+    laidOut.write.partitionBy("cell")
+      .option("partitionOverwriteMode", "static")
+      .mode("overwrite").parquet(indexPath)
     // sidecar AFTER the data write: overwrite of the index dir must not wipe
     // a fresh sidecar
     val spark = corpus.sparkSession
@@ -393,13 +400,18 @@ object Similarity {
       nProbe: Int = 4): DataFrame = {
     val centroids = loadCentroids(spark, indexPath)
     val probe = math.min(nProbe, centroids.length)
+    // materialized ONCE (small by contract — it broadcasts into the join):
+    // the frame is read twice (probed-cell collect + the join), and a
+    // nondeterministic query source re-evaluated between the two reads
+    // could probe cells the scan was not pruned to — silently missing
+    // neighbors. The eager localCheckpoint pins one evaluation for both.
     val queryCells = queries.select(
       col(queryId).as("query_id"), col(queryVec).as("_qv"),
       norm(col(queryVec)).as("_qn"),
       explode(graft.functions.nearest_centroids(col(queryVec), centroids, probe))
         .as("_cell"))
-    // the query side is small by contract (it broadcasts into the join);
-    // collecting its distinct probed cells costs one tiny job and buys a
+      .localCheckpoint(eager = true)
+    // collecting the distinct probed cells costs one tiny job and buys a
     // literal IN over the partition column — static partition pruning, the
     // strongest pruning Spark has
     val probedCells: Array[Int] =
