@@ -21,6 +21,9 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Main <jar> family-soak <pagesPath> <outDir> [bloomLang]
   * spark-submit --class graft.Main <jar> stream-soak <pagesPath> <outPath>
   * spark-submit --class graft.Main <jar> ivf-index-soak <rows> <dim> <indexPath> <outPath> [k] [nProbe] [batches]
+  * spark-submit --class graft.Main <jar> ivf-build <corpusParquet> <idCol> <vecCol> <indexPath> [k] [sampleSize]
+  * spark-submit --class graft.Main <jar> ivf-append <corpusParquet> <idCol> <vecCol> <indexPath>
+  * spark-submit --class graft.Main <jar> ivf-probe <indexPath> <queriesParquet> <idCol> <vecCol> <outPath> [k] [nProbe]
   * }}}
   *
   * No master/parallelism is hard-coded: cluster size, executor counts, AQE
@@ -331,6 +334,37 @@ object Main {
           .toDF("rows", "dim", "centroids", "n_probe", "train_sec", "build_sec",
             "probe_min_sec", "probe_avg_sec", "probe_rows",
             "legacy_scan_sec", "legacy_rows")
+          .write.mode("overwrite").parquet(out)
+
+      // Production IVF lifecycle: train + build the persisted index once...
+      case "ivf-build" =>
+        import org.apache.spark.sql.functions.col
+        need(args, 5, "<corpusParquet> <idCol> <vecCol> <indexPath> [k] [sampleSize]")
+        val Array(_, in, idCol, vecCol, idxPath) = args.take(5)
+        val k = if (args.length > 5) args(5).toInt else 1024
+        val sampleSize = if (args.length > 6) args(6).toInt else 20000
+        val corpus = spark.read.parquet(in).select(col(idCol), col(vecCol))
+        val centroids = graft.ops.Similarity.trainIvfCentroids(
+          corpus, vecCol, k, sampleSize)
+        graft.ops.Similarity.assignCells(corpus, idCol, vecCol, centroids, idxPath)
+
+      // ...append new rows against the sidecar centroids (daily ingest)...
+      case "ivf-append" =>
+        import org.apache.spark.sql.functions.col
+        need(args, 5, "<corpusParquet> <idCol> <vecCol> <indexPath>")
+        val Array(_, in, idCol, vecCol, idxPath) = args.take(5)
+        graft.ops.Similarity.appendToIndex(
+          spark.read.parquet(in).select(col(idCol), col(vecCol)),
+          idCol, vecCol, idxPath)
+
+      // ...and serve query batches with partition-pruned probes.
+      case "ivf-probe" =>
+        need(args, 6, "<indexPath> <queriesParquet> <idCol> <vecCol> <outPath> [k] [nProbe]")
+        val Array(_, idxPath, qIn, idCol, vecCol, out) = args.take(6)
+        val k = if (args.length > 6) args(6).toInt else 10
+        val nProbe = if (args.length > 7) args(7).toInt else 8
+        graft.ops.Similarity.ivfTopKFromIndex(
+          spark, idxPath, spark.read.parquet(qIn), idCol, vecCol, k, nProbe)
           .write.mode("overwrite").parquet(out)
 
       case other =>

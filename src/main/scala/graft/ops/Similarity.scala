@@ -339,6 +339,17 @@ object Similarity {
     * small files at 100 TB). Build cost is one scan + one shuffle, paid once;
     * probes then prune to their cells.
     */
+  private def assignedFrame(corpus: DataFrame, corpusId: String, corpusVec: String,
+      centroids: Array[Array[Double]], repartitionByCell: Boolean): DataFrame = {
+    val assigned = corpus.select(
+      col(corpusId).as("id"), col(corpusVec).as("vec"),
+      norm(col(corpusVec)).as("norm"),
+      get(graft.functions.nearest_centroids(col(corpusVec), centroids, 1), lit(0))
+        .as("cell"))
+      .filter(col("cell").isNotNull)
+    if (repartitionByCell) assigned.repartition(col("cell")) else assigned
+  }
+
   def assignCells(
       corpus: DataFrame,
       corpusId: String,
@@ -346,19 +357,13 @@ object Similarity {
       centroids: Array[Array[Double]],
       indexPath: String,
       repartitionByCell: Boolean = true): Unit = {
-    val assigned = corpus.select(
-      col(corpusId).as("id"), col(corpusVec).as("vec"),
-      norm(col(corpusVec)).as("norm"),
-      get(graft.functions.nearest_centroids(col(corpusVec), centroids, 1), lit(0))
-        .as("cell"))
-      .filter(col("cell").isNotNull)
-    val laidOut = if (repartitionByCell) assigned.repartition(col("cell")) else assigned
     // STATIC overwrite forced per-write: under the session-level
     // partitionOverwriteMode=dynamic a REBUILD with retrained centroids
     // would only replace cells present in the new assignment — stale cell
     // directories from the old centroid map would survive next to the new
     // sidecar and serve wrong neighbors with no error
-    laidOut.write.partitionBy("cell")
+    assignedFrame(corpus, corpusId, corpusVec, centroids, repartitionByCell)
+      .write.partitionBy("cell")
       .option("partitionOverwriteMode", "static")
       .mode("overwrite").parquet(indexPath)
     // sidecar AFTER the data write: overwrite of the index dir must not wipe
@@ -369,6 +374,29 @@ object Similarity {
     }
     spark.createDataFrame(rows).toDF("idx", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/$CentroidsDir")
+  }
+
+  /** Incrementally appends new corpus rows to an EXISTING index built by
+    * [[assignCells]] — the daily-ingest lifecycle op at corpus scale: one
+    * scan + one cell-keyed shuffle over the NEW rows only, nothing existing
+    * is rewritten. Rows are assigned with the index's OWN sidecar centroids
+    * (never retrained here: probe-time cell math must keep matching every
+    * row already in the layout; retrain + [[assignCells]] rebuild when the
+    * data distribution drifts far enough to matter). The caller owns id
+    * uniqueness across the build and all appends — the index is a bag of
+    * (id, vec, norm) rows and duplicate ids would both surface as
+    * candidates.
+    */
+  def appendToIndex(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      indexPath: String,
+      repartitionByCell: Boolean = true): Unit = {
+    val centroids = loadCentroids(corpus.sparkSession, indexPath)
+    assignedFrame(corpus, corpusId, corpusVec, centroids, repartitionByCell)
+      .write.partitionBy("cell")
+      .mode("append").parquet(indexPath)
   }
 
   /** Reads the centroid sidecar of a persisted IVF index. */

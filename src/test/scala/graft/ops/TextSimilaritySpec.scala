@@ -264,4 +264,30 @@ class SimilaritySpec extends AnyFunSuite {
         k = 1, nProbe = loaded.length).collect()
     }
   }
+
+  test("appendToIndex: incremental rows join the index; fullprobe == brute force over the union") {
+    val dim = 8
+    val all = (0 until 300).map(i => (i.toLong, unitVec(dim, i)))
+    val first = all.filter(_._1 % 2 == 0).toDF("id", "vec")
+    val second = all.filter(_._1 % 2 == 1).toDF("id", "vec")
+    val centroids = Similarity.trainIvfCentroids(first, "vec", k = 6, sampleSize = 300)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_append_").toString
+    Similarity.assignCells(first, "id", "vec", centroids, idx)
+    Similarity.appendToIndex(second, "id", "vec", idx)
+    val queries = (0 until 5).map(i => (i.toLong, jitter(unitVec(dim, i), 0.02f, 700 + i)))
+      .toDF("qid", "qvec")
+    val full = Similarity.ivfTopKFromIndex(spark, idx, queries, "qid", "qvec",
+      k = 3, nProbe = centroids.length)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(all.toDF("id", "vec"), "id", "vec",
+      queries, "qid", "qvec", 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == brute,
+      s"index after append diverged from brute force over the union")
+    // the sidecar is untouched by the append
+    val loaded = Similarity.loadCentroids(spark, idx)
+    assert(loaded.zip(centroids).forall { case (a, b) => a.sameElements(b) })
+  }
 }
