@@ -21,6 +21,7 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Main <jar> family-soak <pagesPath> <outDir> [bloomLang]
   * spark-submit --class graft.Main <jar> stream-soak <pagesPath> <outPath>
   * spark-submit --class graft.Main <jar> ivf-index-soak <rows> <dim> <indexPath> <outPath> [k] [nProbe] [batches]
+  * spark-submit --class graft.Main <jar> stream-dedup-soak <pagesPath> <outPath> [watermark]
   * spark-submit --class graft.Main <jar> ivf-build <corpusParquet> <idCol> <vecCol> <indexPath> [k] [sampleSize]
   * spark-submit --class graft.Main <jar> ivf-append <corpusParquet> <idCol> <vecCol> <indexPath>
   * spark-submit --class graft.Main <jar> ivf-probe <indexPath> <queriesParquet> <idCol> <vecCol> <outPath> [k] [nProbe]
@@ -335,6 +336,37 @@ object Main {
             "probe_min_sec", "probe_avg_sec", "probe_rows",
             "legacy_scan_sec", "legacy_rows")
           .write.mode("overwrite").parquet(out)
+
+      // Streaming exact-dedup soak: unlike sketchPerKey's tiny per-key state,
+      // dropDuplicatesWithinWatermark holds ONE state entry per distinct
+      // (hash, length) key inside the horizon — state grows with distinct
+      // texts, and this measures that path at corpus scale. Event time is
+      // synthesized from warc_ts; output = kept count + distinct check.
+      case "stream-dedup-soak" =>
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.streaming.Trigger
+        val Array(_, in, out) = args.take(3)
+        val watermark = if (args.length > 3) args(3) else "24 hours"
+        spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
+        val schema = PagesTable.readFrom(spark, in).schema
+        val stream = spark.readStream.schema(schema).parquet(in)
+        val outDir = s"$out/rows"
+        val q = graft.streaming.SketchStreams
+          .streamingExactDedup(stream, "text", "warc_ts", watermark)
+          .select(col("url"), col("text"))
+          .writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft_stream_dedup_soak_").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.read.parquet(outDir)
+          .agg(count(lit(1)).as("kept"),
+            countDistinct(col("text")).as("kept_distinct"))
+          .write.mode("overwrite").parquet(s"$out/summary")
 
       // Production IVF lifecycle: train + build the persisted index once...
       case "ivf-build" =>

@@ -401,6 +401,25 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
 
+    // the INCREMENTAL index lifecycle through the driver gate: build on the
+    // even half, appendToIndex the odd half, fullprobe — must still equal
+    // brute force over the whole corpus row for row (same independent oracle)
+    "q_ann_topk_ivf_appended" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val even = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      val centroids = graft.ops.Similarity.trainIvfCentroids(
+        even, "embedding", k = 16, sampleSize = 2000)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_app_").toString
+      graft.ops.Similarity.assignCells(even, "vec_id", "embedding", centroids, idx)
+      graft.ops.Similarity.appendToIndex(odd, "vec_id", "embedding", idx)
+      graft.ops.Similarity.ivfTopKFromIndex(s, idx, queries, "qid", "qvec",
+        k = 3, nProbe = centroids.length)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+
     // cluster-aware near-dup dedup: transitive closure of the minhash pairs,
     // keep the minimum id per connected component (chains A~B~C with A!~C
     // now keep exactly one doc, unlike the one-pass minHashDedup contract)
@@ -703,6 +722,8 @@ object SparkEntry {
       "WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5) SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (SELECT q.qid, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id) rank FROM embeddings e, q) t WHERE rank <= 3",
     // same independence for the PERSISTED index path: fullprobe-from-index
     // must equal brute force row for row
+    "q_ann_topk_ivf_appended" ->
+      "WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5) SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (SELECT q.qid, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id) rank FROM embeddings e, q) t WHERE rank <= 3",
     "q_ann_topk_ivf_indexed" ->
       "WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5) SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (SELECT q.qid, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id) rank FROM embeddings e, q) t WHERE rank <= 3",
     // streaming dedup keyed on (wyhash64(text), length): kept count equals

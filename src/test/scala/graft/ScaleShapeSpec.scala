@@ -151,5 +151,13 @@ class ScaleShapeSpec extends AnyFunSuite {
       assert(plan.contains("WindowGroupLimit"),
         s"$name lost the WindowGroupLimit partial top-k:\n$plan")
     }
+    // the indexed probe must join by BROADCASTING the query cells — a
+    // sort-merge join would shuffle the pruned index side (the whole point
+    // of the index is that the corpus never shuffles at query time)
+    val probePlan = plans.last._2.queryExecution.executedPlan.toString
+    assert(probePlan.contains("BroadcastHashJoin"),
+      s"ivfTopKFromIndex must broadcast the query side:\n$probePlan")
+    assert(!probePlan.contains("SortMergeJoin"),
+      s"ivfTopKFromIndex must not shuffle the index side:\n$probePlan")
   }
 }
