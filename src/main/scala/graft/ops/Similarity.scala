@@ -374,6 +374,7 @@ object Similarity {
     }
     spark.createDataFrame(rows).toDF("idx", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/$CentroidsDir")
+    warnCellSkew(spark, indexPath)
   }
 
   /** Incrementally appends new corpus rows to an EXISTING index built by
@@ -397,6 +398,38 @@ object Similarity {
     assignedFrame(corpus, corpusId, corpusVec, centroids, repartitionByCell)
       .write.partitionBy("cell")
       .mode("append").parquet(indexPath)
+  }
+
+  /** Per-cell row counts of a persisted index, as (cell, rows) — the skew
+    * dashboard for probe cost: a probe that hits a cell pays that cell's
+    * size. COUNT(*) grouped by the partition column resolves from parquet
+    * footer metadata (no data pages are read), so this is cheap even on a
+    * 100 TB index.
+    */
+  def indexCellStats(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame =
+    spark.read.parquet(indexPath)
+      .groupBy(col("cell")).agg(count(lit(1)).as("rows"))
+
+  /** Build-time skew check shared by [[assignCells]]: warn when the hottest
+    * cell is far above the mean — probes of that cell pay its whole size,
+    * and the fix (more centroids, or retrain after drift) is a build-time
+    * decision the operator should hear about at build time.
+    */
+  private def warnCellSkew(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit = {
+    val rows = indexCellStats(spark, indexPath)
+      .select(col("rows")).collect().map(_.getLong(0))
+    if (rows.length > 1) {
+      val mean = rows.sum.toDouble / rows.length
+      val max = rows.max
+      if (mean > 0 && max > 8 * mean)
+        System.err.println(f"[graft] assignCells: hottest IVF cell holds " +
+          f"$max rows vs a $mean%.0f mean across ${rows.length} cells " +
+          f"(${max / mean}%.1fx) — probes hitting it pay that size; consider " +
+          f"more centroids, or pre-deduplicating a template-heavy corpus " +
+          f"before training")
+    }
   }
 
   /** Reads the centroid sidecar of a persisted IVF index. */

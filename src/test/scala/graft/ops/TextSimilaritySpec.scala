@@ -289,5 +289,9 @@ class SimilaritySpec extends AnyFunSuite {
     // the sidecar is untouched by the append
     val loaded = Similarity.loadCentroids(spark, idx)
     assert(loaded.zip(centroids).forall { case (a, b) => a.sameElements(b) })
+    // cell stats see the full post-append index (footer-only count)
+    val total = Similarity.indexCellStats(spark, idx)
+      .agg(org.apache.spark.sql.functions.sum($"rows")).collect()(0).getLong(0)
+    assert(total == 300L, s"cell stats must cover build + append rows: $total")
   }
 }
