@@ -334,20 +334,39 @@ object Similarity {
     * indexed — the same policy as [[ivfTopK]]'s per-call assignment.
     *
     * `repartitionByCell` (default true) adds ONE build-time shuffle keyed on
-    * the cell so each cell is written by one task — without it, partitionBy
-    * makes every task write a file into every cell it sees (tasks x cells
-    * small files at 100 TB). Build cost is one scan + one shuffle, paid once;
-    * probes then prune to their cells.
+    * the cell so each cell is written by `filesPerCell` tasks — without it,
+    * partitionBy makes every task write a file into every cell it sees
+    * (tasks x cells small files at 100 TB). `filesPerCell` (default 1) salts
+    * the shuffle key so huge cells are written in parallel instead of by a
+    * single straggler task: size it so each file lands near ~1 GB
+    * (filesPerCell ~ cellBytes / 1 GB at the target corpus). Build cost is
+    * one scan + one shuffle, paid once; probes then prune to their cells.
     */
   private def assignedFrame(corpus: DataFrame, corpusId: String, corpusVec: String,
-      centroids: Array[Array[Double]], repartitionByCell: Boolean): DataFrame = {
+      centroids: Array[Array[Double]], repartitionByCell: Boolean,
+      filesPerCell: Int): DataFrame = {
+    require(filesPerCell >= 1, s"filesPerCell must be >= 1, got $filesPerCell")
     val assigned = corpus.select(
       col(corpusId).as("id"), col(corpusVec).as("vec"),
       norm(col(corpusVec)).as("norm"),
       get(graft.functions.nearest_centroids(col(corpusVec), centroids, 1), lit(0))
         .as("cell"))
       .filter(col("cell").isNotNull)
-    if (repartitionByCell) assigned.repartition(col("cell")) else assigned
+    if (!repartitionByCell) assigned
+    // keyed on cell alone, ONE task writes each whole cell — at corpus scale
+    // that is a corpus/cells-sized straggler (e.g. ~100 GB/cell at 100 TB
+    // over 1024 cells). filesPerCell > 1 salts the shuffle key with a
+    // deterministic id-hash bucket so each cell is written by filesPerCell
+    // parallel tasks into filesPerCell files; size it so each file lands
+    // near ~1 GB (filesPerCell ~ cellBytes / 1 GB). Readers are unaffected:
+    // the salt never leaves the shuffle key.
+    else if (filesPerCell == 1) assigned.repartition(col("cell"))
+    // explicit partition count (one per composite key, +-hash collisions):
+    // without it AQE's advisory-size coalescing would merge the salted
+    // partitions right back into one writer task per cell on modest data —
+    // the explicit count is also the honest statement of intended fan-out
+    else assigned.repartition(centroids.length * filesPerCell, col("cell"),
+      pmod(graft.functions.wyhash64(col("id")), lit(filesPerCell)))
   }
 
   def assignCells(
@@ -356,13 +375,15 @@ object Similarity {
       corpusVec: String,
       centroids: Array[Array[Double]],
       indexPath: String,
-      repartitionByCell: Boolean = true): Unit = {
+      repartitionByCell: Boolean = true,
+      filesPerCell: Int = 1): Unit = {
     // STATIC overwrite forced per-write: under the session-level
     // partitionOverwriteMode=dynamic a REBUILD with retrained centroids
     // would only replace cells present in the new assignment — stale cell
     // directories from the old centroid map would survive next to the new
     // sidecar and serve wrong neighbors with no error
-    assignedFrame(corpus, corpusId, corpusVec, centroids, repartitionByCell)
+    assignedFrame(corpus, corpusId, corpusVec, centroids, repartitionByCell,
+      filesPerCell)
       .write.partitionBy("cell")
       .option("partitionOverwriteMode", "static")
       .mode("overwrite").parquet(indexPath)
@@ -393,9 +414,11 @@ object Similarity {
       corpusId: String,
       corpusVec: String,
       indexPath: String,
-      repartitionByCell: Boolean = true): Unit = {
+      repartitionByCell: Boolean = true,
+      filesPerCell: Int = 1): Unit = {
     val centroids = loadCentroids(corpus.sparkSession, indexPath)
-    assignedFrame(corpus, corpusId, corpusVec, centroids, repartitionByCell)
+    assignedFrame(corpus, corpusId, corpusVec, centroids, repartitionByCell,
+      filesPerCell)
       .write.partitionBy("cell")
       .mode("append").parquet(indexPath)
   }

@@ -294,4 +294,31 @@ class SimilaritySpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.sum($"rows")).collect()(0).getLong(0)
     assert(total == 300L, s"cell stats must cover build + append rows: $total")
   }
+
+  test("filesPerCell salts the build shuffle: big cells write in parallel, results unchanged") {
+    val dim = 8
+    val corpus = (0 until 300).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
+    val centroids = Similarity.trainIvfCentroids(corpus, "vec", k = 4, sampleSize = 300)
+    val idx1 = java.nio.file.Files.createTempDirectory("graft_ivf_f1_").toString
+    val idx3 = java.nio.file.Files.createTempDirectory("graft_ivf_f3_").toString
+    Similarity.assignCells(corpus, "id", "vec", centroids, idx1)
+    Similarity.assignCells(corpus, "id", "vec", centroids, idx3, filesPerCell = 3)
+    // the salted layout actually fans out: some cell dir holds > 1 data file
+    def filesPerCellDir(idx: String): Seq[Int] = {
+      val root = new java.io.File(idx)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    }
+    assert(filesPerCellDir(idx1).forall(_ == 1), "unsalted build: one file per cell")
+    assert(filesPerCellDir(idx3).exists(_ > 1),
+      s"salted build must produce parallel files: ${filesPerCellDir(idx3)}")
+    // and the query answer is layout-independent
+    val queries = (0 until 5).map(i => (i.toLong, jitter(unitVec(dim, i), 0.02f, 800 + i)))
+      .toDF("qid", "qvec")
+    def res(idx: String) = Similarity.ivfTopKFromIndex(spark, idx, queries,
+      "qid", "qvec", k = 3, nProbe = centroids.length)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(res(idx1) == res(idx3), "salted layout changed query results")
+  }
 }
