@@ -511,6 +511,23 @@ object SparkEntry {
           ce_estimate(col("sketch")).as("distinct_from_sketch"))
     }),
 
+    // REAL resize driven end-to-end: test card -> area-averaging thumbnail
+    // (real java.awt scaling + PNG re-encode) -> REAL decode of the
+    // thumbnail. A solid-gray card stays solid gray under area averaging
+    // and PNG is lossless, so the decoded thumbnail metadata is exactly
+    // predictable: target dims and the source card's intensity
+    "q_multimodal_resize" -> ((s, dir) => {
+      val ids = read(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 200)
+      val thumbs = graft.ops.Multimodal.resizeImages(
+        graft.ops.Multimodal.renderTestCards(ids, "doc_id"), "blob", 4, 4)
+      graft.ops.Multimodal.decodeImages(thumbs.select(col("doc_id"), col("thumbnail")),
+        "thumbnail")
+        .select(col("doc_id"),
+          col("image_meta.width").cast("long").as("width"),
+          col("image_meta.height").cast("long").as("height"),
+          col("image_meta.mean_intensity").as("mean_intensity"))
+    }),
+
     // Streaming exact dedup through the driver gate: streamingExactDedup
     // over a file stream (one file per micro-batch), with the query STOPPED
     // and RESTARTED from its checkpoint between the two input halves. The
@@ -798,6 +815,11 @@ object SparkEntry {
     "q_multimodal_decode" ->
       ("SELECT doc_id, 8 + doc_id % 5 AS width, CAST(8 AS BIGINT) AS height, " +
         "CAST(3 AS BIGINT) AS channels, CAST(doc_id % 256 AS DOUBLE) AS mean_intensity " +
+        "FROM documents WHERE doc_id < 200"),
+    // a solid card stays its own gray through area-averaging + lossless PNG
+    "q_multimodal_resize" ->
+      ("SELECT doc_id, CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height, " +
+        "CAST(doc_id % 256 AS DOUBLE) AS mean_intensity " +
         "FROM documents WHERE doc_id < 200")
   )
 }
