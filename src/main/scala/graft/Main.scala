@@ -18,6 +18,7 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Main <jar> dedup-simhash <pagesPath> <outPath> [maxHamming] [maxBucketSize]
   * spark-submit --class graft.Main <jar> dedup-embedding <rows> <dim> <cloneRows> <outPath> [threshold] [maxBucketSize] [planes] [tables]
   * spark-submit --class graft.Main <jar> dedup-cluster <pagesPath> <outPath> [threshold]
+  * spark-submit --class graft.Main <jar> dedup-transitive <pagesPath> <outPath> [threshold]
   * spark-submit --class graft.Main <jar> family-soak <pagesPath> <outDir> [bloomLang]
   * spark-submit --class graft.Main <jar> stream-soak <pagesPath> <outPath>
   * spark-submit --class graft.Main <jar> ivf-index-soak <rows> <dim> <indexPath> <outPath> [k] [nProbe] [batches]
@@ -247,6 +248,21 @@ object Main {
           .agg(count(lit(1)).as("clusters"),
             sum(col("sz")).as("docs"),
             max(col("sz")).as("max_cluster"))
+          .write.mode("overwrite").parquet(out)
+
+      // Cluster-aware transitive dedup soak: LSH pairs -> connected
+      // components -> keep each component's minimum id. On the generated
+      // corpus (each text duplicated rows/distinct times) components are
+      // exact-duplicate cliques, so kept must equal the distinct text count
+      // exactly — ground truth at corpus scale for the whole composed path.
+      case "dedup-transitive" =>
+        val Array(_, in, out) = args.take(3)
+        val threshold = if (args.length > 3) args(3).toDouble else 0.8
+        val pages = pagesWithUniqueRid(spark, in)
+        Dedup.minHashDedupTransitive(pages, "_rid", "text", threshold,
+          cacheSignatures = false)
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("kept"))
           .write.mode("overwrite").parquet(out)
 
       // SimHash near-dup soak with a boilerplate-heavy corpus: the generated
