@@ -22,9 +22,9 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Main <jar> family-soak <pagesPath> <outDir> [bloomLang]
   * spark-submit --class graft.Main <jar> stream-soak <pagesPath> <outPath>
   * spark-submit --class graft.Main <jar> ivf-index-soak <rows> <dim> <indexPath> <outPath> [k] [nProbe] [batches]
-  * spark-submit --class graft.Main <jar> stream-dedup-soak <pagesPath> <outPath> [watermark]
-  * spark-submit --class graft.Main <jar> ivf-build <corpusParquet> <idCol> <vecCol> <indexPath> [k] [sampleSize]
-  * spark-submit --class graft.Main <jar> ivf-append <corpusParquet> <idCol> <vecCol> <indexPath>
+  * spark-submit --class graft.Main <jar> stream-dedup-soak <pagesPath> <outPath> [watermark] [maxFilesPerTrigger]
+  * spark-submit --class graft.Main <jar> ivf-build <corpusParquet> <idCol> <vecCol> <indexPath> [k] [sampleSize] [filesPerCell]
+  * spark-submit --class graft.Main <jar> ivf-append <corpusParquet> <idCol> <vecCol> <indexPath> [filesPerCell]
   * spark-submit --class graft.Main <jar> ivf-probe <indexPath> <queriesParquet> <idCol> <vecCol> <outPath> [k] [nProbe]
   * }}}
   *
@@ -362,10 +362,19 @@ object Main {
         import org.apache.spark.sql.functions._
         import org.apache.spark.sql.streaming.Trigger
         val Array(_, in, out) = args.take(3)
-        val watermark = if (args.length > 3) args(3) else "24 hours"
+        // the generator spreads a duplicate pair's warc_ts up to ~20 days
+        // apart, so the default watermark must EXCEED that span for the
+        // kept == COUNT(DISTINCT) ground truth to hold across micro-batches
+        // (a tighter watermark legitimately expires state — that is the
+        // state-size dial, but then the exact-count oracle no longer applies)
+        val watermark = if (args.length > 3) args(3) else "30 days"
+        // multiple micro-batches by default: state must round-trip the state
+        // store BETWEEN batches, not just dedup inside one batch
+        val maxFiles = if (args.length > 4) args(4).toInt else 16
         spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
         val schema = PagesTable.readFrom(spark, in).schema
-        val stream = spark.readStream.schema(schema).parquet(in)
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", maxFiles).parquet(in)
         val outDir = s"$out/rows"
         val q = graft.streaming.SketchStreams
           .streamingExactDedup(stream, "text", "warc_ts", watermark)
@@ -387,23 +396,26 @@ object Main {
       // Production IVF lifecycle: train + build the persisted index once...
       case "ivf-build" =>
         import org.apache.spark.sql.functions.col
-        need(args, 5, "<corpusParquet> <idCol> <vecCol> <indexPath> [k] [sampleSize]")
+        need(args, 5, "<corpusParquet> <idCol> <vecCol> <indexPath> [k] [sampleSize] [filesPerCell]")
         val Array(_, in, idCol, vecCol, idxPath) = args.take(5)
         val k = if (args.length > 5) args(5).toInt else 1024
         val sampleSize = if (args.length > 6) args(6).toInt else 20000
+        val filesPerCell = if (args.length > 7) args(7).toInt else 1
         val corpus = spark.read.parquet(in).select(col(idCol), col(vecCol))
         val centroids = graft.ops.Similarity.trainIvfCentroids(
           corpus, vecCol, k, sampleSize)
-        graft.ops.Similarity.assignCells(corpus, idCol, vecCol, centroids, idxPath)
+        graft.ops.Similarity.assignCells(corpus, idCol, vecCol, centroids, idxPath,
+          filesPerCell = filesPerCell)
 
       // ...append new rows against the sidecar centroids (daily ingest)...
       case "ivf-append" =>
         import org.apache.spark.sql.functions.col
-        need(args, 5, "<corpusParquet> <idCol> <vecCol> <indexPath>")
+        need(args, 5, "<corpusParquet> <idCol> <vecCol> <indexPath> [filesPerCell]")
         val Array(_, in, idCol, vecCol, idxPath) = args.take(5)
+        val appendFilesPerCell = if (args.length > 5) args(5).toInt else 1
         graft.ops.Similarity.appendToIndex(
           spark.read.parquet(in).select(col(idCol), col(vecCol)),
-          idCol, vecCol, idxPath)
+          idCol, vecCol, idxPath, filesPerCell = appendFilesPerCell)
 
       // ...and serve query batches with partition-pruned probes.
       case "ivf-probe" =>

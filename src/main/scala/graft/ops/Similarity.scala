@@ -346,6 +346,9 @@ object Similarity {
       centroids: Array[Array[Double]], repartitionByCell: Boolean,
       filesPerCell: Int): DataFrame = {
     require(filesPerCell >= 1, s"filesPerCell must be >= 1, got $filesPerCell")
+    require(repartitionByCell || filesPerCell == 1,
+      "filesPerCell > 1 requires repartitionByCell = true (the salt lives in " +
+        "the build shuffle key; without the shuffle it would be silently ignored)")
     val assigned = corpus.select(
       col(corpusId).as("id"), col(corpusVec).as("vec"),
       norm(col(corpusVec)).as("norm"),
@@ -421,6 +424,9 @@ object Similarity {
       filesPerCell)
       .write.partitionBy("cell")
       .mode("append").parquet(indexPath)
+    // appends under distribution drift are exactly where hot cells grow —
+    // the operator should hear about skew per append, not only at rebuild
+    warnCellSkew(corpus.sparkSession, indexPath)
   }
 
   /** Per-cell row counts of a persisted index, as (cell, rows) — the skew
@@ -434,15 +440,19 @@ object Similarity {
     spark.read.parquet(indexPath)
       .groupBy(col("cell")).agg(count(lit(1)).as("rows"))
 
-  /** Build-time skew check shared by [[assignCells]]: warn when the hottest
+  /** Skew check shared by [[assignCells]] and [[appendToIndex]]: warn when the hottest
     * cell is far above the mean — probes of that cell pay its whole size,
     * and the fix (more centroids, or retrain after drift) is a build-time
     * decision the operator should hear about at build time.
     */
   private def warnCellSkew(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): Unit = {
-    val rows = indexCellStats(spark, indexPath)
-      .select(col("rows")).collect().map(_.getLong(0))
+    // an empty index (all rows dirty, or an empty daily input) has no data
+    // files to infer a schema from — a legitimate build, not a reason to
+    // throw AFTER every write already succeeded
+    val rows = scala.util.Try(indexCellStats(spark, indexPath)
+      .select(col("rows")).collect().map(_.getLong(0)))
+      .getOrElse(Array.empty[Long])
     if (rows.length > 1) {
       val mean = rows.sum.toDouble / rows.length
       val max = rows.max
