@@ -22,7 +22,7 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Main <jar> family-soak <pagesPath> <outDir> [bloomLang]
   * spark-submit --class graft.Main <jar> stream-soak <pagesPath> <outPath>
   * spark-submit --class graft.Main <jar> ivf-index-soak <rows> <dim> <indexPath> <outPath> [k] [nProbe] [batches]
-  * spark-submit --class graft.Main <jar> stream-dedup-soak <pagesPath> <outPath> [watermark] [maxFilesPerTrigger]
+  * spark-submit --class graft.Main <jar> stream-dedup-soak <pagesPath> <outPath> [watermark] [maxFilesPerTrigger] [rocksdb]
   * spark-submit --class graft.Main <jar> ivf-build <corpusParquet> <idCol> <vecCol> <indexPath> [k] [sampleSize] [filesPerCell]
   * spark-submit --class graft.Main <jar> ivf-append <corpusParquet> <idCol> <vecCol> <indexPath> [filesPerCell]
   * spark-submit --class graft.Main <jar> ivf-probe <indexPath> <queriesParquet> <idCol> <vecCol> <outPath> [k] [nProbe]
@@ -371,6 +371,13 @@ object Main {
         // multiple micro-batches by default: state must round-trip the state
         // store BETWEEN batches, not just dedup inside one batch
         val maxFiles = if (args.length > 4) args(4).toInt else 16
+        // optional 6th arg "rocksdb": the in-box RocksDB provider keeps the
+        // big dedup state off-heap with incremental checkpoints — the
+        // recommended provider once state stops fitting the HDFS-backed
+        // provider's in-memory maps (measured head-to-head in BASELINE.md)
+        if (args.length > 5 && args(5) == "rocksdb")
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
         val schema = PagesTable.readFrom(spark, in).schema
         val stream = spark.readStream.schema(schema)
