@@ -314,7 +314,7 @@ object Main {
       case "ivf-index-soak" =>
         import org.apache.spark.sql.functions._
         import spark.implicits._
-        need(args, 5, "<rows> <dim> <indexPath> <outPath> [k] [nProbe] [batches]")
+        need(args, 5, "<rows> <dim> <indexPath> <outPath> [k] [nProbe] [batches] [filesPerCell]")
         // indexPath is a CLI arg (not a driver-local temp dir): on a real
         // cluster the index must land on the shared filesystem, and the
         // caller owns its lifecycle
@@ -323,6 +323,7 @@ object Main {
         val kCentroids = if (args.length > 5) args(5).toInt else 256
         val nProbe = if (args.length > 6) args(6).toInt else 8
         val batches = if (args.length > 7) args(7).toInt else 5
+        val soakFilesPerCell = if (args.length > 8) args(8).toInt else 1
         val vecs = syntheticVecs(spark, rows, dim)
         def secs[A](f: => A): (A, Double) = {
           val t0 = System.nanoTime()
@@ -332,7 +333,8 @@ object Main {
         val (centroids, trainSec) =
           secs(graft.ops.Similarity.trainIvfCentroids(vecs, "embedding", kCentroids))
         val (_, buildSec) = secs(graft.ops.Similarity.assignCells(
-          vecs, "vec_id", "embedding", centroids, idxPath))
+          vecs, "vec_id", "embedding", centroids, idxPath,
+          filesPerCell = soakFilesPerCell))
         val stride = math.max(rows / 100, 1L)
         val queries = vecs.filter(pmod(col("vec_id"), lit(stride)) === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
