@@ -126,27 +126,42 @@ object Bench {
 
     val total = queryTimes.map(_._2).sum + fullSec
     val qs = queryTimes.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // absolute clock proxy: single-thread pure-CPU sketch inserts/s on
+    // THIS host minute — divide flagship rows/s by this to compare
+    // software across rounds on a shared box whose clock wanders; the
+    // pre-divided ratio is emitted too so cross-round comparisons read
+    // one host-independent number (rounds 3-4 measured ~0.44-0.55).
+    // Guarded like hwCeiling: a zero/NaN rate would print Infinity/NaN,
+    // which is not JSON and would break the last-line capture contract.
+    val anchorJson =
+      if (hwSingleThreadRate > 0 && !hwSingleThreadRate.isInfinite)
+        s""","hw_single_thread_inserts_per_sec":${hwSingleThreadRate.round},""" +
+        s""""flagship_rows_per_single_thread_insert":${f"${rpsFull / hwSingleThreadRate}%.4f"}"""
+      else ""
     val highPairJson = if (haveHighPair)
       s""","pair_8_to_$cpus":{"rows_per_sec_n":${rps8.round},"rows_per_sec_4n":${rpsFull.round},"efficiency":${f"$effHighPair%.3f"},""" +
-      s""""hw_frequency_ceiling":${f"$hwCeiling%.3f"},"efficiency_vs_hw_ceiling":${f"$effHighNorm%.3f"},""" +
-      // absolute clock proxy: single-thread pure-CPU sketch inserts/s on
-      // THIS host minute — divide flagship rows/s by this to compare
-      // software across rounds on a shared box whose clock wanders; the
-      // pre-divided ratio is emitted too so cross-round comparisons read
-      // one host-independent number (round 3 measured ~0.50-0.55)
-      s""""hw_single_thread_inserts_per_sec":${hwSingleThreadRate.round},""" +
-      s""""flagship_rows_per_single_thread_insert":${f"${rpsFull / hwSingleThreadRate}%.4f"}}"""
+      s""""hw_frequency_ceiling":${f"$hwCeiling%.3f"},"efficiency_vs_hw_ceiling":${f"$effHighNorm%.3f"}""" +
+      anchorJson + "}"
     else ""
     // stop the session BEFORE printing: the JSON must be the last line of
     // output so no shutdown logging can push it out of a capture window
     spark.stop()
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""pages_rows":$pagesRows,"pages_flagship_sec":$fullSec,""" +
       s""""pages_rows_per_sec":${fullRps.round},""" +
       s""""scaling":{""" +
       s""""pair_2_to_8":{"rows_per_sec_n":${rps2.round},"rows_per_sec_4n":${rps8.round},"efficiency":${f"$effLowPair%.3f"}}""" +
-      highPairJson + "}}")
+      highPairJson + "}}"
+    // ALSO write the full JSON to a file: the driver's stdout capture keeps
+    // only a bounded tail, and rounds 1-4 each lost the head of this line to
+    // that window — the file is the truncation-proof machine-readable artifact
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[graft] bench: could not write $outFile: $e") }
+    println(json)
     System.out.flush()
   }
 

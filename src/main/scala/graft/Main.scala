@@ -16,16 +16,18 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Main <jar> dedup-exact <pagesPath> <outPath>
   * spark-submit --class graft.Main <jar> dedup-minhash <pagesPath> <outPath> [threshold]
   * spark-submit --class graft.Main <jar> dedup-simhash <pagesPath> <outPath> [maxHamming] [maxBucketSize]
+  * spark-submit --class graft.Main <jar> dedup-simhash-hashes <rows> <outPath> [maxHamming] [maxBucketSize] [planted]
   * spark-submit --class graft.Main <jar> dedup-embedding <rows> <dim> <cloneRows> <outPath> [threshold] [maxBucketSize] [planes] [tables]
   * spark-submit --class graft.Main <jar> dedup-cluster <pagesPath> <outPath> [threshold]
   * spark-submit --class graft.Main <jar> dedup-transitive <pagesPath> <outPath> [threshold]
   * spark-submit --class graft.Main <jar> family-soak <pagesPath> <outDir> [bloomLang]
-  * spark-submit --class graft.Main <jar> stream-soak <pagesPath> <outPath>
-  * spark-submit --class graft.Main <jar> ivf-index-soak <rows> <dim> <indexPath> <outPath> [k] [nProbe] [batches]
-  * spark-submit --class graft.Main <jar> stream-dedup-soak <pagesPath> <outPath> [watermark] [maxFilesPerTrigger] [rocksdb]
+  * spark-submit --class graft.Main <jar> stream-soak <pagesPath> <outPath> [ckptDir]
+  * spark-submit --class graft.Main <jar> ivf-index-soak <rows> <dim> <indexPath> <outPath> [k] [nProbe] [batches] [filesPerCell]
+  * spark-submit --class graft.Main <jar> stream-dedup-soak <pagesPath> <outPath> [watermark] [maxFilesPerTrigger] [rocksdb] [ckptDir]
   * spark-submit --class graft.Main <jar> ivf-build <corpusParquet> <idCol> <vecCol> <indexPath> [k] [sampleSize] [filesPerCell]
   * spark-submit --class graft.Main <jar> ivf-append <corpusParquet> <idCol> <vecCol> <indexPath> [filesPerCell]
   * spark-submit --class graft.Main <jar> ivf-probe <indexPath> <queriesParquet> <idCol> <vecCol> <outPath> [k] [nProbe]
+  * spark-submit --class graft.Main <jar> ivf-compact <indexPath> [filesPerCell] [maxCells]
   * }}}
   *
   * No master/parallelism is hard-coded: cluster size, executor counts, AQE
@@ -60,6 +62,31 @@ object Main {
         "(url, warc_ts) period; regenerate with fewer rows or more distinct urls")
     pages
   }
+
+  /** One-line bucket-cap drop-share summary for the dedup soak commands —
+    * operators of the shipped CLI must see recall loss in the command
+    * output, not only in stderr scrollback. The metric lands via the async
+    * QueryExecutionListener bus, so poll briefly. Returned (not just
+    * printed) for the CLI smoke assertion in sbt test.
+    */
+  private[graft] def capStatsSummary(op: String, timeoutMs: Long = 10000): String = {
+    val end = System.currentTimeMillis + timeoutMs
+    var s = graft.ops.GraftMetrics.lastBucketCapStats(op)
+    while (s.isEmpty && System.currentTimeMillis < end) {
+      Thread.sleep(100)
+      s = graft.ops.GraftMetrics.lastBucketCapStats(op)
+    }
+    s match {
+      case Some(st) =>
+        f"[graft] $op bucket-cap: banded=${st.bandedRows} dropped=${st.droppedRows} " +
+          f"(${st.droppedFraction * 100}%.2f%% of banded rows; " +
+          f"${st.droppedBuckets} oversized buckets at cap ${st.maxBucketSize}) — " +
+          f"pairs entirely inside dropped buckets are not reported"
+      case None => s"[graft] $op bucket-cap: no capped run recorded"
+    }
+  }
+
+  private def printCapStats(op: String): Unit = println(capStatsSummary(op))
 
   /** Deterministic synthetic embeddings shared by the embedding soaks:
     * component (row, j) is wyhash-derived uniform in [-1, 1) — one
@@ -164,6 +191,7 @@ object Main {
           .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("kept"))
           .write.mode("overwrite").parquet(out)
+        printCapStats("minhash")
 
       // Sketch-family soak: t-digest + KLL quantiles per lang over one
       // aggregation pass; a Bloom filter of one language's urls probed
@@ -212,6 +240,11 @@ object Main {
       case "stream-soak" =>
         import org.apache.spark.sql.streaming.Trigger
         val Array(_, in, out) = args.take(3)
+        // checkpoint on the SAME filesystem as the output (CLI-overridable):
+        // a driver-local temp dir only works in local mode — on a cluster
+        // the state store must live on shared storage. Fresh per soak run;
+        // reusing a checkpoint resumes instead of re-reading the input.
+        val ckptDir = if (args.length > 3) args(3) else s"$out-ckpt"
         spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
         val schema = PagesTable.readFrom(spark, in).schema
         val stream = spark.readStream.schema(schema).parquet(in)
@@ -221,8 +254,7 @@ object Main {
           .outputMode("complete")
           .format("memory")
           .queryName("graft_stream_soak")
-          .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("graft_stream_soak_").toString)
+          .option("checkpointLocation", ckptDir)
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
@@ -249,6 +281,7 @@ object Main {
             sum(col("sz")).as("docs"),
             max(col("sz")).as("max_cluster"))
           .write.mode("overwrite").parquet(out)
+        printCapStats("minhash")
 
       // Cluster-aware transitive dedup soak: LSH pairs -> connected
       // components -> keep each component's minimum id. On the generated
@@ -264,6 +297,7 @@ object Main {
           .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("kept"))
           .write.mode("overwrite").parquet(out)
+        printCapStats("minhash")
 
       // SimHash near-dup soak with a boilerplate-heavy corpus: the generated
       // pages repeat texts by design (distinctUrls << rows), so giant
@@ -278,6 +312,41 @@ object Main {
           .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("pairs"))
           .write.mode("overwrite").parquet(out)
+        printCapStats("simhash")
+
+      // Web-scale simhash soak over SYNTHETIC hashes: `rows` deterministic
+      // wyhash-derived 64-bit simhashes stand in for a corpus whose real
+      // texts would not fit this sandbox, driving the block-triple bucketing
+      // at the scale where the old 4x16-bit quarter keys saturated (~4M
+      // docs). `planted` worst-case near-dup pairs (3 bits flipped across 3
+      // DIFFERENT blocks) must be recovered EXACTLY; random 64-bit hashes
+      // essentially never sit within Hamming 3 of each other, so
+      // planted_found == planted is ground truth. Output: one summary row.
+      case "dedup-simhash-hashes" =>
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        val Array(_, rowsS, out) = args.take(3)
+        val rows = rowsS.toLong
+        val maxHamming = if (args.length > 3) args(3).toInt else 3
+        val maxBucketSize = if (args.length > 4) args(4).toInt else 10000
+        val planted = if (args.length > 5) args(5).toLong else 1000L
+        require(planted <= rows, s"planted ($planted) must be <= rows ($rows)")
+        val hashes = spark.range(rows)
+          .select(col("id"), functions.wyhash64(col("id")).as("sh"))
+        val mask = (1L << 5) | (1L << 27) | (1L << 60) // blocks 0, 2, 5
+        val clones = hashes.filter(col("id") < planted)
+          .select((col("id") + lit(1L << 41)).as("id"),
+            col("sh").bitwiseXOR(lit(mask)).as("sh"))
+        val pairs = Dedup.simHashNearDupPairsOnHashes(
+          hashes.union(clones), "id", "sh", maxHamming, maxBucketSize)
+        val plantedFound = col("id_b") === col("id_a") + lit(1L << 41)
+        pairs.agg(
+            count(lit(1)).as("pairs_total"),
+            sum(when(plantedFound, 1L).otherwise(0L)).as("planted_found"),
+            lit(planted).as("planted_expected"))
+          .write.mode("overwrite").parquet(out)
+        printCapStats("simhash")
+        spark.read.parquet(out).show(false)
 
       // Embedding near-dup soak over synthesized vectors: `cloneRows` rows
       // share ONE template vector (the hot-direction skew case the bucket
@@ -305,6 +374,7 @@ object Main {
           .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("pairs"))
           .write.mode("overwrite").parquet(out)
+        printCapStats("embedding")
 
       // Persisted-IVF soak: train + build the cell-partitioned index ONCE
       // over synthesized vectors, then run repeated query batches through
@@ -380,6 +450,12 @@ object Main {
         if (args.length > 5 && args(5) == "rocksdb")
           spark.conf.set("spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // checkpoint under the output dir by default (CLI-overridable): the
+        // dedup state store must live on the shared filesystem executors can
+        // reach — a driver-local temp dir breaks (or silently loses state)
+        // on a multi-node cluster. The caller owns the out dir's lifecycle:
+        // a fresh soak needs a fresh out (a reused checkpoint resumes).
+        val ckptDir = if (args.length > 6) args(6) else s"$out/ckpt"
         spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
         val schema = PagesTable.readFrom(spark, in).schema
         val stream = spark.readStream.schema(schema)
@@ -392,8 +468,7 @@ object Main {
           .outputMode("append")
           .format("parquet")
           .option("path", outDir)
-          .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("graft_stream_dedup_soak_").toString)
+          .option("checkpointLocation", ckptDir)
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
@@ -425,6 +500,20 @@ object Main {
         graft.ops.Similarity.appendToIndex(
           spark.read.parquet(in).select(col(idCol), col(vecCol)),
           idCol, vecCol, idxPath, filesPerCell = appendFilesPerCell)
+
+      // ...periodically re-merge append-fragmented cells (probe cost at
+      // corpus scale degrades toward file listing/open overhead otherwise —
+      // run after every ~10 appends, or when indexCellStats shows files >>
+      // filesPerCell; maxCells bounds one run for very large indexes)...
+      case "ivf-compact" =>
+        need(args, 2, "<indexPath> [filesPerCell] [maxCells]")
+        val idxPath = args(1)
+        val fpc = if (args.length > 2) args(2).toInt else 1
+        val maxCells = if (args.length > 3) args(3).toInt else Int.MaxValue
+        val done = graft.ops.Similarity.compactIndex(spark, idxPath, fpc, maxCells)
+        println(s"[graft] ivf-compact: rewrote ${done.length} fragmented cell(s)" +
+          (if (done.isEmpty) "" else s": ${done.sorted.take(50).mkString(",")}" +
+            (if (done.length > 50) ",..." else "")))
 
       // ...and serve query batches with partition-pruned probes.
       case "ivf-probe" =>

@@ -20,6 +20,20 @@ object SparkEntry {
   private def read(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  /** Gates that must mutate session conf (the streaming ones) restore what
+    * they touched — queries sharing one driver session must not inherit
+    * another gate's settings.
+    */
+  private def withConf[A](spark: SparkSession, key: String, value: String)(body: => A): A = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Flagship query on sf=0.001: approximate distinct doc_ids per language.
     * Driver smoke-checks rows > 0.
     */
@@ -420,6 +434,28 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
 
+    // the FULL index lifecycle including compaction: build on one third,
+    // append the other two thirds (fragmenting every touched cell), compact
+    // back to ~1 file/cell, fullprobe — must STILL equal brute force over
+    // the whole corpus row for row (same independent oracle). A compaction
+    // that lost, duplicated, or cross-wired rows cannot pass.
+    "q_ann_topk_ivf_compacted" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val parts = (0 until 3).map(t => emb.filter(pmod(col("vec_id"), lit(3)) === t))
+      val centroids = graft.ops.Similarity.trainIvfCentroids(
+        parts(0), "embedding", k = 16, sampleSize = 2000)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_cmp_").toString
+      graft.ops.Similarity.assignCells(parts(0), "vec_id", "embedding", centroids, idx)
+      graft.ops.Similarity.appendToIndex(parts(1), "vec_id", "embedding", idx)
+      graft.ops.Similarity.appendToIndex(parts(2), "vec_id", "embedding", idx)
+      graft.ops.Similarity.compactIndex(s, idx)
+      graft.ops.Similarity.ivfTopKFromIndex(s, idx, queries, "qid", "qvec",
+        k = 3, nProbe = centroids.length)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+
     // cluster-aware near-dup dedup: transitive closure of the minhash pairs,
     // keep the minimum id per connected component (chains A~B~C with A!~C
     // now keep exactly one doc, unlike the one-pass minHashDedup contract)
@@ -468,15 +504,17 @@ object SparkEntry {
     // restart through the checkpoint — both via the same serialized sketch
     // wire format as batch shuffles — and the final estimates still match
     // the exact COUNT(DISTINCT) oracle (exact mode: <= 16 buckets/key).
-    "q_stream_sketch_restore" -> ((s, dir) => {
+    "q_stream_sketch_restore" -> ((s, dir) => withConf(s,
+        // the state-store maintenance thread outlives this short-lived query
+        // and spams RPC warnings after the session rotates (e.g. in Bench's
+        // scaling phase); one idle hour is far beyond the query's life (the
+        // already-scheduled maintenance keeps the interval it started with,
+        // so restoring after the streaming runs finish is sound)
+        "spark.sql.streaming.stateStore.maintenanceInterval", "1h") {
       import org.apache.spark.sql.streaming.Trigger
       val base = java.nio.file.Files.createTempDirectory("graft_stream_").toString
       val inDir = s"$base/in"
       val ckpt = s"$base/ckpt"
-      // the state-store maintenance thread outlives this short-lived query
-      // and spams RPC warnings after the session rotates (e.g. in Bench's
-      // scaling phase); one idle hour is far beyond the query's life
-      s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
       val events = read(s, dir, "events")
         .select(col("event_id"), col("event_type"),
           pmod(col("user_id"), lit(16)).as("user_bucket"))
@@ -538,13 +576,13 @@ object SparkEntry {
     // inside the watermark horizon). The parquet sink (not memory) is what
     // makes the gate restart-sound: a memory sink would be wiped when the
     // query restarts.
-    "q_stream_dedup_restore" -> ((s, dir) => {
+    "q_stream_dedup_restore" -> ((s, dir) => withConf(s,
+        "spark.sql.streaming.stateStore.maintenanceInterval", "1h") {
       import org.apache.spark.sql.streaming.Trigger
       val base = java.nio.file.Files.createTempDirectory("graft_stream_dedup_").toString
       val inDir = s"$base/in"
       val outDir = s"$base/out"
       val ckpt = s"$base/ckpt"
-      s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
       // PLANT restart-crossing duplicates: the sf0.01 documents table has no
       // duplicate texts at all, so without planting, kept == COUNT(DISTINCT)
       // would hold even if the restart dropped ALL dedup state (a vacuous
@@ -742,6 +780,9 @@ object SparkEntry {
     "q_ann_topk_ivf_appended" ->
       "WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5) SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (SELECT q.qid, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id) rank FROM embeddings e, q) t WHERE rank <= 3",
     "q_ann_topk_ivf_indexed" ->
+      "WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5) SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (SELECT q.qid, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id) rank FROM embeddings e, q) t WHERE rank <= 3",
+    // build + 2 appends + compaction must preserve the corpus exactly
+    "q_ann_topk_ivf_compacted" ->
       "WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5) SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (SELECT q.qid, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id) rank FROM embeddings e, q) t WHERE rank <= 3",
     // streaming dedup keyed on (wyhash64(text), length): kept count equals
     // exact COUNT(DISTINCT text) (collision odds ~n^2/2^65 per length class),

@@ -130,6 +130,17 @@ object Dedup {
     val counts = GraftMetrics.observeBucketCap(
       banded.groupBy(col(bucketCol)).agg(count(lit(1)).as("_bn")),
       opName, maxBucketSize)
+    // DELIVERY CAVEAT (handled in GraftMetrics): when the enclosing query's
+    // result is empty, AQE's empty-relation propagation replaces collapsed
+    // ancestor joins and discards this subtree — including the executed
+    // CollectMetrics node — from the final plan, so the metric is never
+    // delivered (measured: an all-boilerplate corpus recorded nothing under
+    // AQE, everything with AQE off; neither a post-join cap filter nor a
+    // sentinel build row survives, because ANY empty stage above collapses
+    // the whole branch). The listener therefore detects observe names that
+    // were in the analyzed plan but missing from the delivered metrics and
+    // warns that the drop share is UNMEASURED — an empty result is exactly
+    // when silent cap truncation would hide.
     val smallBuckets = counts
       .filter(col("_bn") <= maxBucketSize)
       .select(col(bucketCol))
@@ -377,34 +388,89 @@ object Dedup {
         coalesce(col("cluster_id"), col("_id")).as("cluster_id"))
   }
 
+  // --- SimHash multi-piece bucketing --------------------------------------
+  // The 64-bit simhash is split into 6 blocks (11,11,11,11,10,10 bits). A
+  // pair within Hamming <= 3 has its differing bits inside at most 3 blocks,
+  // so at least 6 - 3 = 3 blocks agree BIT-FOR-BIT — hence the pair shares
+  // at least one of the C(6,3) = 20 block-TRIPLE bucket keys (pigeonhole;
+  // the guarantee needs blocks - tripleSize >= maxHamming). Each triple key
+  // carries ~32 bits of hash, vs 16 bits for the previous 4-quarter scheme:
+  // random-corpus bucket occupancy drops from corpus/2^16 per quarter (every
+  // bucket past any sane cap by a few million docs — the operator then
+  // loudly reported nothing) to corpus/2^32 per triple, which stays sparse
+  // into the billions. Cost: 20 (key, id, hash) rows per doc instead of 4 —
+  // ~5x the (still tiny, ~24 B/row) band traffic.
+  private[ops] val SimHashBlockBits: Array[Int] = Array(11, 11, 11, 11, 10, 10)
+  private[ops] val SimHashBlockOffset: Array[Int] =
+    SimHashBlockBits.scanLeft(0)(_ + _).init
+  private[ops] val SimHashTriples: IndexedSeq[(Int, Int, Int)] =
+    for {
+      i <- SimHashBlockBits.indices
+      j <- i + 1 until SimHashBlockBits.length
+      k <- j + 1 until SimHashBlockBits.length
+    } yield (i, j, k)
+
+  /** All 20 block-triple bucket keys of one 64-bit simhash column, as
+    * struct(t, v): t = triple index (0..19), v = the triple's three blocks
+    * concatenated (<= 33 bits). Pure column algebra over one projected hash
+    * value — the hash is computed once per row, never per key.
+    */
+  private def simHashTripleKeys(sh: Column): Column = {
+    def block(b: Int): Column =
+      shiftrightunsigned(sh, SimHashBlockOffset(b))
+        .bitwiseAND(lit((1L << SimHashBlockBits(b)) - 1))
+    array(SimHashTriples.zipWithIndex.map { case ((i, j, k), t) =>
+      struct(
+        lit(t).as("t"),
+        (shiftleft(block(i), SimHashBlockBits(j) + SimHashBlockBits(k)) +
+          shiftleft(block(j), SimHashBlockBits(k)) + block(k)).as("v"))
+    }: _*)
+  }
+
   /** SimHash near-duplicate pairs: same 64-bit simhash up to `maxHamming`
-    * differing bits. Buckets by each of 4 16-bit quarters (any pair within
-    * Hamming <= 3 must agree on at least one quarter), verifies Hamming
-    * distance inside buckets only.
+    * differing bits. Buckets by the 20 block-triple keys (any pair within
+    * Hamming <= 3 must fully agree on at least one triple — see
+    * [[SimHashBlockBits]]), verifies exact Hamming distance inside buckets
+    * only. Completeness therefore never depends on luck: bucketing is a
+    * covering code for Hamming <= 3, and the verify filter makes false
+    * bucket collisions harmless.
     *
-    * `maxBucketSize` caps quarter buckets exactly like minhash's band cap:
-    * a boilerplate-heavy corpus where thousands of near-identical docs share
-    * a 16-bit quarter would otherwise go quadratic in that bucket. Pairs
+    * `maxBucketSize` caps triple buckets exactly like minhash's band cap: a
+    * boilerplate-heavy corpus where thousands of near-identical docs share
+    * all blocks would otherwise go quadratic in those buckets. Pairs
     * entirely inside an oversized bucket are not reported (see
-    * [[dropOversizedBuckets]]); the bucket rows carry only ~24 bytes
-    * (quarter key, id, 8-byte simhash).
+    * [[dropOversizedBuckets]]); with ~32-bit keys a RANDOM corpus never
+    * approaches the cap below billions of docs — oversized buckets now
+    * always mean true boilerplate, which belongs to exact dedup.
     */
   def simHashNearDupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame =
+    simHashNearDupPairsOnHashes(
+      df.select(col(idCol), simhash64(col(textCol)).as("__graft_sh")),
+      idCol, "__graft_sh", maxHamming, maxBucketSize)
+
+  /** [[simHashNearDupPairs]] over PRE-COMPUTED 64-bit simhashes (`hashCol`):
+    * corpora that store fingerprints (e.g. via `simhash64` at ingest) skip
+    * re-hashing the text, and synthetic-hash soaks can exercise the
+    * bucketing at web scale without materializing web-scale text.
+    */
+  def simHashNearDupPairsOnHashes(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
       maxBucketSize: Int = 10000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
-      "4-quarter bucketing covers Hamming <= 3 only")
-    val hashed = df.select(col(idCol).as("_id"), simhash64(col(textCol)).as("_sh"))
+      "6-block triple bucketing covers Hamming <= 3 only (6 blocks - 3 per " +
+        "triple >= maxHamming)")
+    val hashed = df.select(col(idCol).as("_id"), col(hashCol).as("_sh"))
     val banded = dropOversizedBuckets(
-      hashed.select(
-        col("_id"), col("_sh"),
-        explode(array((0 until 4).map(q =>
-          struct(lit(q).as("q"),
-            shiftrightunsigned(col("_sh"), q * 16).bitwiseAND(lit(0xffffL)).as("v"))): _*))
-          .as("_bucket")),
+      hashed.select(col("_id"), col("_sh"),
+        explode(simHashTripleKeys(col("_sh"))).as("_bucket")),
       "_bucket", maxBucketSize, "simhash")
     val a = banded.select(col("_bucket"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
     val b = banded.select(col("_bucket"), col("_id").as("id_b"), col("_sh").as("_sh_b"))
@@ -413,6 +479,8 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         bit_count(col("_sh_a").bitwiseXOR(col("_sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      // a pair can share several agreeing triples; min() is pure dedup (the
+      // hamming of a pair is the same in every bucket it meets in)
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
   }

@@ -60,6 +60,13 @@ object GraftMetrics {
     * runs of the same operator cannot clobber each other into reading the
     * wrong run's drop share. The listener bus is asynchronous: stats land
     * shortly AFTER the action returns, not within it.
+    *
+    * SCOPE: the stats registry is process-global and keyed by operator name
+    * only. In a multi-tenant JVM (concurrent pipelines, several
+    * SparkSessions) "newest" is newest ACROSS tenants — a pipeline that must
+    * gate on the recall loss of ITS OWN run should capture the set of
+    * counters in [[allBucketCapStats]] before acting its query and diff
+    * afterward, rather than trusting the single newest entry.
     */
   def lastBucketCapStats(opName: String): Option[BucketCapStats] =
     Option(stats.get(opName)).flatMap(_.lastOption.map(_._2))
@@ -71,7 +78,21 @@ object GraftMetrics {
   def allBucketCapStats(opName: String): Seq[BucketCapStats] =
     Option(stats.get(opName)).map(_.values.toSeq).getOrElse(Seq.empty)
 
-  private[graft] def resetBucketCapStats(): Unit = stats.clear()
+  /** Number of capped runs of `opName` whose drop-share metric was ELIDED:
+    * the observe node was in the plan but no metric arrived, because AQE's
+    * empty-relation propagation replaced an empty-result subtree (and the
+    * CollectMetrics inside it) before the final plan was walked. An elided
+    * run means the drop share is UNKNOWN, not zero — and an empty result is
+    * exactly when silent cap truncation would hide, so gating pipelines
+    * should treat elided runs as suspect (inspect bucket counts directly,
+    * or rerun with spark.sql.adaptive.enabled=false to measure).
+    */
+  def elidedRuns(opName: String): Long =
+    Option(elided.get(opName)).map(_.get()).getOrElse(0L)
+
+  private val elided = new ConcurrentHashMap[String, AtomicLong]()
+
+  private[graft] def resetBucketCapStats(): Unit = { stats.clear(); elided.clear() }
 
   /** Wraps the per-bucket `(bucket, _bn)` count frame with the observation.
     * maxBucketSize rides in the metric name (observe expressions must be
@@ -93,7 +114,33 @@ object GraftMetrics {
     if (registered.add(spark)) {
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
-            durationNs: Long): Unit =
+            durationNs: Long): Unit = {
+          // elision detection: a bucket-cap observe that the ANALYZED plan
+          // carries but the delivered metrics lack was optimized out of the
+          // final plan (AQE replaces empty-result subtrees wholesale, and
+          // the CollectMetrics node goes with them). Record + warn: the
+          // drop share of that run is unknown, not zero.
+          val planned = scala.collection.mutable.Set[String]()
+          qe.analyzed.foreach {
+            case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
+                if c.name.startsWith(Prefix) => planned += c.name
+            case _ => ()
+          }
+          planned.diff(qe.observedMetrics.keySet).foreach { name =>
+            name.stripPrefix(Prefix).split('#') match {
+              case Array(op, cap, _) =>
+                elided.computeIfAbsent(op, _ => new AtomicLong()).incrementAndGet()
+                System.err.println(
+                  s"[graft] $op: bucket-cap drop-share metric (maxBucketSize=" +
+                  s"$cap) was ELIDED for this run — the query produced an " +
+                  s"empty intermediate result and adaptive empty-relation " +
+                  s"pruning discarded the metric node, so the dropped-row " +
+                  s"share is UNKNOWN (an empty result is exactly when cap " +
+                  s"truncation would hide); inspect bucket counts directly " +
+                  s"or rerun with spark.sql.adaptive.enabled=false to measure")
+              case _ => ()
+            }
+          }
           qe.observedMetrics.foreach { case (name, row) =>
             if (name.startsWith(Prefix)) {
               name.stripPrefix(Prefix).split('#') match {
@@ -123,6 +170,7 @@ object GraftMetrics {
               }
             }
           }
+        }
         override def onFailure(funcName: String, qe: QueryExecution,
             exception: Exception): Unit = ()
       })

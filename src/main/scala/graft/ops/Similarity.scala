@@ -398,7 +398,7 @@ object Similarity {
     }
     spark.createDataFrame(rows).toDF("idx", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/$CentroidsDir")
-    warnCellSkew(spark, indexPath)
+    warnCellSkew(spark, indexPath, "assignCells")
   }
 
   /** Incrementally appends new corpus rows to an EXISTING index built by
@@ -426,19 +426,95 @@ object Similarity {
       .mode("append").parquet(indexPath)
     // appends under distribution drift are exactly where hot cells grow —
     // the operator should hear about skew per append, not only at rebuild
-    warnCellSkew(corpus.sparkSession, indexPath)
+    warnCellSkew(corpus.sparkSession, indexPath, "appendToIndex")
   }
 
-  /** Per-cell row counts of a persisted index, as (cell, rows) — the skew
-    * dashboard for probe cost: a probe that hits a cell pays that cell's
-    * size. COUNT(*) grouped by the partition column resolves from parquet
-    * footer metadata (no data pages are read), so this is cheap even on a
-    * 100 TB index.
+  /** Driver-side file count per cell partition of a persisted index: the
+    * fragmentation dashboard [[compactIndex]] acts on. One FS listing per
+    * cell directory — cells are bounded by the centroid count (~1k), so this
+    * is tiny even when the index itself is 100 TB.
+    */
+  private def cellFileCounts(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Map[Int, Int] = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Map.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .flatMap { s =>
+        scala.util.Try(s.getPath.getName.stripPrefix("cell=").toInt).toOption
+          .map { cell =>
+            cell -> fs.listStatus(s.getPath)
+              .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          }
+      }.toMap
+  }
+
+  /** Per-cell (rows, files) of a persisted index — the skew AND
+    * fragmentation dashboard for probe cost: a probe that hits a cell pays
+    * that cell's size in bytes and its file count in listing/open overhead.
+    * COUNT(*) grouped by the partition column resolves from parquet footer
+    * metadata (no data pages are read) and the file counts come from one
+    * driver-side listing, so this is cheap even on a 100 TB index.
     */
   def indexCellStats(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): DataFrame =
+      indexPath: String): DataFrame = {
+    val files = spark.createDataFrame(cellFileCounts(spark, indexPath).toSeq)
+      .toDF("cell", "files")
     spark.read.parquet(indexPath)
       .groupBy(col("cell")).agg(count(lit(1)).as("rows"))
+      .join(files, Seq("cell"), "left")
+  }
+
+  /** Rewrites FRAGMENTED cell partitions of a persisted index in place.
+    * [[appendToIndex]] adds >= 1 new file per touched cell per append and
+    * nothing else ever merges them, so a daily-ingest index accretes
+    * ~appends x filesPerCell small files per cell and probe cost degrades
+    * toward file listing/open overhead — the same small-files failure the
+    * salted build layout avoids at build time. Compaction:
+    *   - selects only cells whose parquet file count exceeds `filesPerCell`
+    *     (driver-side listing; pass `maxCells` to bound one run),
+    *   - reads ONLY those cell partitions (static partition pruning on the
+    *     literal cell list),
+    *   - rewrites each as ~`filesPerCell` files in the build's salted
+    *     layout, replacing ONLY those cell directories via dynamic partition
+    *     overwrite — untouched cells are never listed, read, or rewritten,
+    *     and the `_centroids` sidecar is untouched.
+    * Returns the compacted cell ids (empty = nothing fragmented).
+    *
+    * The fragmented rows are materialized (eager localCheckpoint) before the
+    * overwrite: Spark (correctly) refuses to overwrite a path it is still
+    * reading from, and materializing first is also what makes read-then-
+    * replace atomic per run. At very large scale, bound each run with
+    * `maxCells` (most-fragmented cells first) so one batch's rows fit the
+    * cluster's block-manager storage; compaction is incremental by design.
+    */
+  def compactIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      filesPerCell: Int = 1,
+      maxCells: Int = Int.MaxValue): Seq[Int] = {
+    require(filesPerCell >= 1, s"filesPerCell must be >= 1, got $filesPerCell")
+    require(maxCells >= 1, s"maxCells must be >= 1, got $maxCells")
+    val fragmented = cellFileCounts(spark, indexPath).toSeq
+      .filter(_._2 > filesPerCell)
+      .sortBy { case (cell, files) => (-files, cell) }
+      .take(maxCells).map(_._1)
+    if (fragmented.isEmpty) return Seq.empty
+    val rows = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(fragmented.map(c => c: Any): _*))
+      .localCheckpoint(eager = true)
+    val relaid =
+      if (filesPerCell == 1) rows.repartition(fragmented.length, col("cell"))
+      // same salted fan-out as the build (assignedFrame): huge cells rewrite
+      // in parallel instead of through one straggler task
+      else rows.repartition(fragmented.length * filesPerCell, col("cell"),
+        pmod(graft.functions.wyhash64(col("id")), lit(filesPerCell)))
+    relaid.write.partitionBy("cell")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(indexPath)
+    fragmented
+  }
 
   /** Skew check shared by [[assignCells]] and [[appendToIndex]]: warn when the hottest
     * cell is far above the mean — probes of that cell pay its whole size,
@@ -446,7 +522,7 @@ object Similarity {
     * decision the operator should hear about at build time.
     */
   private def warnCellSkew(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): Unit = {
+      indexPath: String, caller: String): Unit = {
     // an empty index (all rows dirty, or an empty daily input) has no data
     // files to infer a schema from — a legitimate build, not a reason to
     // throw AFTER every write already succeeded
@@ -457,7 +533,7 @@ object Similarity {
       val mean = rows.sum.toDouble / rows.length
       val max = rows.max
       if (mean > 0 && max > 8 * mean)
-        System.err.println(f"[graft] assignCells: hottest IVF cell holds " +
+        System.err.println(f"[graft] $caller: hottest IVF cell holds " +
           f"$max rows vs a $mean%.0f mean across ${rows.length} cells " +
           f"(${max / mean}%.1fx) — probes hitting it pay that size; consider " +
           f"more centroids, or pre-deduplicating a template-heavy corpus " +

@@ -228,9 +228,9 @@ class DedupSpec extends AnyFunSuite {
       "4 lazy rounds covering a 40-chain would make this test meaningless")
   }
 
-  test("simhash: oversized quarter buckets are capped (boilerplate skew guard)") {
-    // 60 identical docs share all four 16-bit quarters -> one 60-doc bucket
-    // per quarter; two genuinely near-dup docs elsewhere must still pair
+  test("simhash: oversized triple buckets are capped (boilerplate skew guard)") {
+    // 60 identical docs share all six blocks -> one 60-doc bucket per
+    // block-triple; two genuinely near-dup docs elsewhere must still pair
     val boiler = (0 until 60).map(i => (100L + i, "boilerplate legal footer " +
       "all rights reserved contact us terms of service privacy policy"))
     val near = Seq((1L, baseText), (2L, mutate(baseText, 1, 3)))
@@ -362,8 +362,8 @@ class DedupSpec extends AnyFunSuite {
 
   test("bucket-cap truncation is LOUD: dropped-row share lands in GraftMetrics") {
     GraftMetrics.resetBucketCapStats()
-    // same skew fixture as the cap test: 60 identical docs saturate all four
-    // simhash quarter buckets at cap 50; 2 normal docs band into small buckets
+    // same skew fixture as the cap test: 60 identical docs saturate all 20
+    // simhash triple buckets at cap 50; 2 normal docs band into small buckets
     val boiler = (0 until 60).map(i => (100L + i, "boilerplate legal footer " +
       "all rights reserved contact us terms of service privacy policy"))
     val near = Seq((1L, baseText), (2L, mutate(baseText, 1, 3)))
@@ -371,11 +371,11 @@ class DedupSpec extends AnyFunSuite {
     Dedup.simHashNearDupPairs(docs, "doc_id", "text",
       maxHamming = 3, maxBucketSize = 50).collect()
     val s = awaitCapStats("simhash")
-    // 62 docs x 4 quarters banded; the 4 boilerplate quarter buckets (60
-    // rows each) are all over cap -> >= 240 of 248 rows dropped
-    assert(s.bandedRows == 248, s"banded: $s")
-    assert(s.droppedRows >= 240, s"dropped: $s")
-    assert(s.droppedBuckets >= 4, s"buckets: $s")
+    // 62 docs x 20 triples banded; the 20 boilerplate triple buckets (60
+    // rows each) are all over cap -> >= 1200 of 1240 rows dropped
+    assert(s.bandedRows == 1240, s"banded: $s")
+    assert(s.droppedRows >= 1200, s"dropped: $s")
+    assert(s.droppedBuckets >= 20, s"buckets: $s")
     assert(s.maxBucketSize == 50, s"cap: $s")
     assert(s.droppedFraction > GraftMetrics.WarnDropFraction,
       s"this fixture must cross the warn threshold: $s")
@@ -383,7 +383,104 @@ class DedupSpec extends AnyFunSuite {
     GraftMetrics.resetBucketCapStats()
     Dedup.simHashNearDupPairs(docs, "doc_id", "text", maxHamming = 3).collect()
     val clean = awaitCapStats("simhash")
-    assert(clean.droppedRows == 0 && clean.bandedRows == 248, s"uncapped: $clean")
+    assert(clean.droppedRows == 0 && clean.bandedRows == 1240, s"uncapped: $clean")
+  }
+
+  test("an all-dropped cap run is never SILENT: measured stats or a loud elision record") {
+    // when every bucket is over cap the query's result is empty, and AQE's
+    // empty-relation propagation discards the CollectMetrics node with the
+    // collapsed subtree — the metric can then never be delivered (verified
+    // empirically; no plan shape survives, the whole branch is replaced).
+    // The listener detects the elision from the analyzed plan instead: the
+    // contract is that a capped run ALWAYS leaves a trace — either measured
+    // drop-share stats, or an elision record saying the share is UNKNOWN.
+    GraftMetrics.resetBucketCapStats()
+    val docs = (0 until 60).map(i => (100L + i, "boilerplate legal footer " +
+      "all rights reserved contact us terms of service privacy policy"))
+      .toDF("doc_id", "text")
+    val n = Dedup.simHashNearDupPairs(docs, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 50).count()
+    assert(n == 0, s"fixture must drop everything, got $n pairs")
+    val end = System.currentTimeMillis + 20000
+    while (GraftMetrics.elidedRuns("simhash") == 0 &&
+        GraftMetrics.lastBucketCapStats("simhash").isEmpty &&
+        System.currentTimeMillis < end) Thread.sleep(50)
+    val measured = GraftMetrics.lastBucketCapStats("simhash")
+    val elided = GraftMetrics.elidedRuns("simhash")
+    assert(elided >= 1 || measured.exists(_.droppedRows == 1200),
+      s"all-dropped run left no trace: measured=$measured elided=$elided")
+  }
+
+  test("simhash triple bucketing: every Hamming<=3 flip pattern pairs, including worst-case block spread") {
+    // synthetic hashes through simHashNearDupPairsOnHashes: each planted
+    // clone flips a known bit pattern of its base. Completeness is
+    // STRUCTURAL (any <=3 flipped bits corrupt <=3 of the 6 blocks, so some
+    // block-triple fully agrees), so even the adversarial spread of 3 bits
+    // across 3 DIFFERENT blocks must pair; a Hamming-4 clone must never pair.
+    val flips: Seq[(Long, Int)] = Seq( // (xor mask, expected hamming)
+      (1L << 5, 1), // one bit, block 0
+      ((1L << 5) | (1L << 27), 2), // two bits, blocks 0 and 2
+      ((1L << 5) | (1L << 27) | (1L << 60), 3), // three blocks: 0, 2, 5
+      ((1L << 0) | (1L << 11) | (1L << 22), 3), // block-start bits of 0,1,2
+      ((1L << 10) | (1L << 21) | (1L << 43), 3), // block-END bits of 0,1,3
+      ((1L << 63) | (1L << 53) | (1L << 44), 3)) // top bits of blocks 5,4,4
+    val bases = Seq(0x123456789abcdef0L, -987654321987654321L, 0L)
+    val rows = bases.zipWithIndex.flatMap { case (base, b) =>
+      val origin = (b * 1000L, base)
+      val clones = flips.zipWithIndex.map { case ((m, _), f) =>
+        (b * 1000L + 100L + f, base ^ m)
+      }
+      // hamming-4 distractor: bits in 4 different blocks
+      val far = (b * 1000L + 500L,
+        base ^ ((1L << 1) | (1L << 12) | (1L << 23) | (1L << 34)))
+      origin +: far +: clones
+    }
+    val pairs = Dedup.simHashNearDupPairsOnHashes(
+      rows.toDF("id", "sh"), "id", "sh", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    bases.indices.foreach { b =>
+      flips.zipWithIndex.foreach { case ((_, ham), f) =>
+        val key = (b * 1000L, b * 1000L + 100L + f)
+        assert(pairs.get(key).contains(ham),
+          s"base $b flip $f: expected hamming $ham, got ${pairs.get(key)}")
+      }
+      assert(!pairs.keys.exists(p => p._1 == b * 1000L + 500L || p._2 == b * 1000L + 500L),
+        s"hamming-4 distractor of base $b must not pair: ${pairs.keys}")
+    }
+  }
+
+  test("simhash triple buckets stay sparse where 16-bit quarters saturated (scale-true key space)") {
+    // 100k random-but-deterministic hashes at cap 2: the OLD 4x16-bit
+    // quarter keys put ~1.6 docs in every bucket (lambda = n/65536), so a
+    // large share of rows sat in over-cap buckets — computed directly below
+    // to show the quarter scheme WOULD warn here. The triple keys spread the
+    // same corpus over 2^32 buckets per triple: zero dropped rows, and
+    // planted worst-case Hamming-3 pairs are still recovered exactly.
+    val n = 100000L
+    val hashes = spark.range(n).select($"id", wyhash64($"id").as("sh"))
+    val cap = 2
+    val quarterDropped = hashes.select(explode(array((0 until 4).map(q =>
+        struct(lit(q).as("q"),
+          shiftrightunsigned($"sh", q * 16).bitwiseAND(lit(0xffffL)).as("v"))): _*))
+        .as("b"))
+      .groupBy($"b").count().filter($"count" > cap)
+      .agg(coalesce(sum($"count"), lit(0L))).collect()(0).getLong(0)
+    assert(quarterDropped.toDouble / (4 * n) > GraftMetrics.WarnDropFraction,
+      s"fixture must saturate the legacy quarter keys: $quarterDropped dropped of ${4 * n}")
+    // worst-case plants: 3 flipped bits in 3 different blocks
+    val mask = (1L << 5) | (1L << 27) | (1L << 60)
+    val planted = hashes.filter($"id" < 10)
+      .select(($"id" + 1000000L).as("id"), $"sh".bitwiseXOR(lit(mask)).as("sh"))
+    GraftMetrics.resetBucketCapStats()
+    val pairs = Dedup.simHashNearDupPairsOnHashes(
+      hashes.union(planted), "id", "sh", maxHamming = 3, maxBucketSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 10L).foreach(i => assert(pairs.contains((i, 1000000L + i)),
+      s"planted pair $i lost: ${pairs.take(10)}"))
+    val s = awaitCapStats("simhash")
+    assert(s.bandedRows == (n + 10) * 20, s"banded: $s")
+    assert(s.droppedRows == 0,
+      s"triple keys must not saturate at this corpus size: $s")
   }
 
   test("minHashDedupTransitive: a near-dup CHAIN keeps exactly its minimum id") {

@@ -295,6 +295,69 @@ class SimilaritySpec extends AnyFunSuite {
     assert(total == 300L, s"cell stats must cover build + append rows: $total")
   }
 
+  test("compactIndex: appends re-merge to ~filesPerCell; only fragmented cells rewrite; answers unchanged") {
+    val dim = 8
+    val all = (0 until 300).map(i => (i.toLong, unitVec(dim, i)))
+    val thirds = (0 until 3).map(t => all.filter(_._1 % 3 == t).toDF("id", "vec"))
+    val centroids = Similarity.trainIvfCentroids(thirds(0), "vec", k = 6, sampleSize = 300)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_compact_").toString
+    Similarity.assignCells(thirds(0), "id", "vec", centroids, idx)
+    Similarity.appendToIndex(thirds(1), "id", "vec", idx)
+    Similarity.appendToIndex(thirds(2), "id", "vec", idx)
+    def filesByCell(): Map[Int, Seq[String]] = {
+      val root = new java.io.File(idx)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName.stripPrefix("cell=").toInt ->
+          d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).sorted.toSeq)
+        .toMap
+    }
+    val before = filesByCell()
+    assert(before.values.exists(_.size > 1),
+      s"fixture broken: appends must fragment some cell: $before")
+    // fragmentation is visible in the stats dashboard
+    val statFiles = Similarity.indexCellStats(spark, idx)
+      .collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
+    assert(statFiles == before.view.mapValues(_.size).toMap,
+      s"indexCellStats files column diverges from the FS listing: $statFiles vs $before")
+    val compacted = Similarity.compactIndex(spark, idx)
+    assert(compacted.toSet == before.filter(_._2.size > 1).keySet,
+      s"compacted exactly the fragmented cells: $compacted vs $before")
+    val after = filesByCell()
+    assert(after.keySet == before.keySet, "compaction must not add or drop cells")
+    assert(after.values.forall(_.size == 1), s"cells not merged to 1 file: $after")
+    // untouched (already-compact) cells keep their exact files
+    before.filter(_._2.size == 1).foreach { case (cell, files) =>
+      assert(after(cell) == files, s"un-fragmented cell $cell was rewritten")
+    }
+    // sidecar survives the dynamic overwrite
+    val loaded = Similarity.loadCentroids(spark, idx)
+    assert(loaded.zip(centroids).forall { case (a, b) => a.sameElements(b) },
+      "centroid sidecar lost by compaction")
+    // fullprobe after compaction still equals brute force over everything
+    val queries = (0 until 5).map(i => (i.toLong, jitter(unitVec(dim, i), 0.02f, 600 + i)))
+      .toDF("qid", "qvec")
+    val full = Similarity.ivfTopKFromIndex(spark, idx, queries, "qid", "qvec",
+      k = 3, nProbe = centroids.length)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(all.toDF("id", "vec"), "id", "vec",
+      queries, "qid", "qvec", 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == brute, "compacted index diverged from brute force")
+    // idempotent: a compact index compacts to nothing
+    assert(Similarity.compactIndex(spark, idx).isEmpty, "second compaction must be a no-op")
+    // later appends re-fragment ONLY their touched cells; targeted
+    // compaction with filesPerCell > 1 re-merges through the salted layout
+    Similarity.appendToIndex(thirds(1), "id", "vec", idx)
+    Similarity.appendToIndex(thirds(2), "id", "vec", idx)
+    val refrag = filesByCell().filter(_._2.size > 2).keySet
+    assert(refrag.nonEmpty, "two appends must push some cell past 2 files")
+    val again = Similarity.compactIndex(spark, idx, filesPerCell = 2)
+    assert(again.toSet == refrag, s"compacted exactly the >2-file cells: $again vs $refrag")
+    assert(filesByCell().values.forall(_.size <= 2), "filesPerCell=2 exceeded")
+  }
+
   test("filesPerCell salts the build shuffle: big cells write in parallel, results unchanged") {
     val dim = 8
     val corpus = (0 until 300).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
