@@ -28,6 +28,7 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Main <jar> ivf-append <corpusParquet> <idCol> <vecCol> <indexPath> [filesPerCell]
   * spark-submit --class graft.Main <jar> ivf-probe <indexPath> <queriesParquet> <idCol> <vecCol> <outPath> [k] [nProbe]
   * spark-submit --class graft.Main <jar> ivf-compact <indexPath> [filesPerCell] [maxCells]
+  * spark-submit --class graft.Main <jar> ivf-compact-soak <rows> <dim> <appendBatches> <indexPath> <outPath> [k] [nProbe]
   * }}}
   *
   * No master/parallelism is hard-coded: cluster size, executor counts, AQE
@@ -72,7 +73,8 @@ object Main {
   private[graft] def capStatsSummary(op: String, timeoutMs: Long = 10000): String = {
     val end = System.currentTimeMillis + timeoutMs
     var s = graft.ops.GraftMetrics.lastBucketCapStats(op)
-    while (s.isEmpty && System.currentTimeMillis < end) {
+    while (s.isEmpty && graft.ops.GraftMetrics.elidedRuns(op) == 0 &&
+        System.currentTimeMillis < end) {
       Thread.sleep(100)
       s = graft.ops.GraftMetrics.lastBucketCapStats(op)
     }
@@ -82,6 +84,11 @@ object Main {
           f"(${st.droppedFraction * 100}%.2f%% of banded rows; " +
           f"${st.droppedBuckets} oversized buckets at cap ${st.maxBucketSize}) — " +
           f"pairs entirely inside dropped buckets are not reported"
+      case None if graft.ops.GraftMetrics.elidedRuns(op) > 0 =>
+        s"[graft] $op bucket-cap: drop share UNKNOWN — the metric was elided " +
+          s"by empty-result plan pruning (an empty result is exactly when cap " +
+          s"truncation would hide); inspect bucket counts directly or rerun " +
+          s"with spark.sql.adaptive.enabled=false"
       case None => s"[graft] $op bucket-cap: no capped run recorded"
     }
   }
@@ -514,6 +521,70 @@ object Main {
         println(s"[graft] ivf-compact: rewrote ${done.length} fragmented cell(s)" +
           (if (done.isEmpty) "" else s": ${done.sorted.take(50).mkString(",")}" +
             (if (done.length > 50) ",..." else "")))
+
+      // Daily-ingest lifecycle soak: build the index once, run `appendBatches`
+      // incremental appends (each rows/8 new vectors, disjoint ids), measure
+      // probe cost + files-per-cell on the FRAGMENTED index, compact, and
+      // measure both again — the compacted index must return the exact same
+      // probe rows while files-per-cell returns to ~1. Quantifies the
+      // small-file accretion appendToIndex causes and what compaction buys
+      // back. Output: one summary row of timings + file counts.
+      case "ivf-compact-soak" =>
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        need(args, 6, "<rows> <dim> <appendBatches> <indexPath> <outPath> [k] [nProbe]")
+        val Array(_, rowsS, dimS, batchesS, idxPath, out) = args.take(6)
+        val (rows, dim, batches) = (rowsS.toLong, dimS.toInt, batchesS.toInt)
+        val kCentroids = if (args.length > 6) args(6).toInt else 256
+        val nProbe = if (args.length > 7) args(7).toInt else 8
+        def secs[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime()
+          val a = f
+          (a, (System.nanoTime() - t0) / 1e9)
+        }
+        val base = syntheticVecs(spark, rows, dim)
+        val centroids = graft.ops.Similarity.trainIvfCentroids(base, "embedding", kCentroids)
+        val (_, buildSec) = secs(graft.ops.Similarity.assignCells(
+          base, "vec_id", "embedding", centroids, idxPath))
+        val appendRows = math.max(rows / 8, 1L)
+        val (_, appendSec) = secs((1 to batches).foreach { b =>
+          val fresh = syntheticVecs(spark, appendRows, dim)
+            .select((col("vec_id") + lit(rows * b)).as("vec_id"), col("embedding"))
+          graft.ops.Similarity.appendToIndex(fresh, "vec_id", "embedding", idxPath)
+        })
+        def fileStats(): (Long, Double) = {
+          val f = graft.ops.Similarity.indexCellStats(spark, idxPath)
+            .agg(max(col("files")), avg(col("files"))).collect()(0)
+          (f.getInt(0).toLong, f.getDouble(1))
+        }
+        val stride = math.max(rows / 100, 1L)
+        val queries = base.filter(pmod(col("vec_id"), lit(stride)) === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        def probe() = graft.ops.Similarity.ivfTopKFromIndex(
+          spark, idxPath, queries, "qid", "qvec", k = 10, nProbe)
+          .agg(count(lit(1)), sum(col("neighbor_id"))).collect()(0)
+        val (maxFilesBefore, avgFilesBefore) = fileStats()
+        probe() // warm file listing
+        val (resBefore, probeBeforeSec) = secs(probe())
+        val (compacted, compactSec) = secs(
+          graft.ops.Similarity.compactIndex(spark, idxPath))
+        val (maxFilesAfter, avgFilesAfter) = fileStats()
+        probe() // warm the fresh file listing, like the pre-compact measure
+        val (resAfter, probeAfterSec) = secs(probe())
+        require(resBefore == resAfter,
+          s"compaction changed probe results: $resBefore vs $resAfter")
+        Seq((rows, batches, centroids.length, buildSec, appendSec,
+          maxFilesBefore, avgFilesBefore, probeBeforeSec,
+          compacted.length, compactSec,
+          maxFilesAfter, avgFilesAfter, probeAfterSec,
+          resBefore.getLong(0)))
+          .toDF("rows", "append_batches", "cells", "build_sec", "append_sec",
+            "max_files_per_cell_before", "avg_files_before", "probe_sec_fragmented",
+            "cells_compacted", "compact_sec",
+            "max_files_per_cell_after", "avg_files_after", "probe_sec_compacted",
+            "probe_rows")
+          .write.mode("overwrite").parquet(out)
+        spark.read.parquet(out).show(false)
 
       // ...and serve query batches with partition-pruned probes.
       case "ivf-probe" =>

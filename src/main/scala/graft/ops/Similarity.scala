@@ -504,15 +504,27 @@ object Similarity {
     val rows = spark.read.parquet(indexPath)
       .filter(col("cell").isin(fragmented.map(c => c: Any): _*))
       .localCheckpoint(eager = true)
-    val relaid =
-      if (filesPerCell == 1) rows.repartition(fragmented.length, col("cell"))
-      // same salted fan-out as the build (assignedFrame): huge cells rewrite
-      // in parallel instead of through one straggler task
-      else rows.repartition(fragmented.length * filesPerCell, col("cell"),
-        pmod(graft.functions.wyhash64(col("id")), lit(filesPerCell)))
-    relaid.write.partitionBy("cell")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(indexPath)
+    try {
+      val relaid =
+        if (filesPerCell == 1) rows.repartition(fragmented.length, col("cell"))
+        // same salted fan-out as the build (assignedFrame): huge cells rewrite
+        // in parallel instead of through one straggler task
+        else rows.repartition(fragmented.length * filesPerCell, col("cell"),
+          pmod(graft.functions.wyhash64(col("id")), lit(filesPerCell)))
+      relaid.write.partitionBy("cell")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(indexPath)
+    } finally
+      // free the checkpoint blocks NOW instead of waiting for GC-driven
+      // cleanup: one compaction batch holds its cells' rows in block-manager
+      // storage, and leaving them resident taxes everything that runs after
+      // (measured: a post-compact probe on an 8M-row index read 27 s with the
+      // blocks still held vs ~2 s once freed)
+      rows.queryExecution.optimizedPlan.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     fragmented
   }
 

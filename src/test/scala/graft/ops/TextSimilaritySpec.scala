@@ -319,9 +319,16 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
     assert(statFiles == before.view.mapValues(_.size).toMap,
       s"indexCellStats files column diverges from the FS listing: $statFiles vs $before")
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
     val compacted = Similarity.compactIndex(spark, idx)
     assert(compacted.toSet == before.filter(_._2.size > 1).keySet,
       s"compacted exactly the fragmented cells: $compacted vs $before")
+    // the compaction's materialization checkpoint must not stay resident —
+    // leaked blocks tax everything that runs after (unpersist is async)
+    val freeBy = System.currentTimeMillis + 15000
+    def leaked() = spark.sparkContext.getPersistentRDDs.keySet.diff(rddsBefore)
+    while (leaked().nonEmpty && System.currentTimeMillis < freeBy) Thread.sleep(100)
+    assert(leaked().isEmpty, s"compaction left checkpoint blocks resident: ${leaked()}")
     val after = filesByCell()
     assert(after.keySet == before.keySet, "compaction must not add or drop cells")
     assert(after.values.forall(_.size == 1), s"cells not merged to 1 file: $after")
