@@ -324,6 +324,33 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("simhash bucket exchanges carry (triple key, id, hash) only — never the text") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = (0 until 50).map(i => (i.toLong, s"$baseText tail$i")).toDF("doc_id", "text")
+      val out = Dedup.simHashNearDupPairs(docs, "doc_id", "text")
+      val shuffles = out.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          (s.outputPartitioning.toString, s.child.output.map(_.name))
+      }
+      assert(shuffles.nonEmpty, "expected bucket exchanges")
+      shuffles.foreach { case (part, names) =>
+        assert(!names.exists(_.contains("text")),
+          s"an exchange ships the text column: $part $names")
+      }
+      // the hash is computed BEFORE any exchange: every shuffled row is just
+      // (bucket key, id, 8-byte hash) / aggregation slices of it
+      val bucketShuffles = shuffles.filter(_._1.contains("_bucket"))
+      assert(bucketShuffles.nonEmpty, s"expected _bucket-partitioned exchanges: $shuffles")
+      bucketShuffles.foreach { case (_, names) =>
+        // "count" is the bucket-size partial aggregate's buffer column
+        assert(names.toSet.subsetOf(Set("_bucket", "_id", "_sh", "_bn", "count")),
+          s"bucket exchange carries more than (key, id, hash): $names")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("ngramJaccard: exact set similarity (1.0 identical, 0.0 disjoint)") {
     val df = Seq((baseText, baseText, "alpha beta gamma delta epsilon zeta"))
       .toDF("a", "b", "c")
