@@ -410,20 +410,22 @@ object Dedup {
       k <- j + 1 until SimHashBlockBits.length
     } yield (i, j, k)
 
-  /** All 20 block-triple bucket keys of one 64-bit simhash column, as
-    * struct(t, v): t = triple index (0..19), v = the triple's three blocks
-    * concatenated (<= 33 bits). Pure column algebra over one projected hash
-    * value — the hash is computed once per row, never per key.
+  /** All 20 block-triple bucket keys of one 64-bit simhash column, each ONE
+    * long: the triple index (0..19) in the top bits tags the triple's three
+    * blocks concatenated (<= 33 bits) — `t << 33 | blocks`, collision-free
+    * across triples by construction. A flat 8-byte key shuffles, hashes, and
+    * aggregates cheaper than the struct(t, v) it replaces. Pure column
+    * algebra over one projected hash value — the hash is computed once per
+    * row, never per key.
     */
   private def simHashTripleKeys(sh: Column): Column = {
     def block(b: Int): Column =
       shiftrightunsigned(sh, SimHashBlockOffset(b))
         .bitwiseAND(lit((1L << SimHashBlockBits(b)) - 1))
     array(SimHashTriples.zipWithIndex.map { case ((i, j, k), t) =>
-      struct(
-        lit(t).as("t"),
-        (shiftleft(block(i), SimHashBlockBits(j) + SimHashBlockBits(k)) +
-          shiftleft(block(j), SimHashBlockBits(k)) + block(k)).as("v"))
+      shiftleft(block(i), SimHashBlockBits(j) + SimHashBlockBits(k)) +
+        shiftleft(block(j), SimHashBlockBits(k)) + block(k) +
+        lit(t.toLong << 33)
     }: _*)
   }
 
