@@ -452,7 +452,15 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Int = 10000): DataFrame =
     simHashNearDupPairsOnHashes(
-      df.select(col(idCol), simhash64(col(textCol)).as("__graft_sh")),
+      df.select(col(idCol), simhash64(col(textCol)).as("__graft_sh"))
+        // hash 0 is the zero-FEATURE case (empty/whitespace/punct-only text:
+        // no word hashes, all counters 0) — the simhash analogue of minhash's
+        // shingle-less sentinel. Such docs carry no content signal, yet all
+        // share hash 0 and would pair with each other at "hamming 0" despite
+        // different raw bytes; they belong to exact dedup, not LSH. A REAL
+        // text hashing to exactly 0 needs all 64 counters balanced-or-
+        // negative simultaneously (~2^-64 for non-degenerate inputs).
+        .filter(col("__graft_sh") =!= 0L),
       idCol, "__graft_sh", maxHamming, maxBucketSize)
 
   /** [[simHashNearDupPairs]] over PRE-COMPUTED 64-bit simhashes (`hashCol`):
@@ -469,7 +477,14 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 3,
       "6-block triple bucketing covers Hamming <= 3 only (6 blocks - 3 per " +
         "triple >= maxHamming)")
+    // null hashes (null text upstream, or nulls in a stored fingerprint
+    // column) can never pair — a null key matches nothing in the bucket
+    // equi-join — but WOULD band into one shared null bucket first, where a
+    // null-heavy corpus pollutes the drop-share metric (and pays 20
+    // exchange rows per null). They belong out of LSH entirely, like
+    // minhash's shingle-less docs.
     val hashed = df.select(col(idCol).as("_id"), col(hashCol).as("_sh"))
+      .filter(col("_sh").isNotNull)
     val banded = dropOversizedBuckets(
       hashed.select(col("_id"), col("_sh"),
         explode(simHashTripleKeys(col("_sh"))).as("_bucket")),

@@ -476,6 +476,36 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash: null hashes/texts drop from banding — no pairs, no cap-stat pollution") {
+    GraftMetrics.resetBucketCapStats()
+    val near = Seq((1L, baseText), (2L, mutate(baseText, 1, 3)))
+    val docs = (near ++ Seq((3L, null: String), (4L, null: String))).toDF("doc_id", "text")
+    val pairs = Dedup.simHashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.size == 1,
+      s"null texts must not pair (nor suppress real pairs): $pairs")
+    val s = awaitCapStats("simhash")
+    // only the 2 real docs band: 2 x 20 rows — the nulls never reach the
+    // exchange, so they can't inflate bandedRows or a shared null bucket
+    assert(s.bandedRows == 40 && s.droppedRows == 0, s"nulls banded: $s")
+    // same for a stored-fingerprint column with null rows
+    val h = Seq((1L, java.lang.Long.valueOf(42L)), (2L, java.lang.Long.valueOf(42L)),
+      (9L, null.asInstanceOf[java.lang.Long])).toDF("id", "sh")
+    val hp = Dedup.simHashNearDupPairsOnHashes(h, "id", "sh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hp == Set((1L, 2L)), s"null stored hash must not pair: $hp")
+  }
+
+  test("simhash: zero-feature texts (empty/punct-only) never pair — they all hash to the 0 sentinel") {
+    val near = Seq((1L, baseText), (2L, mutate(baseText, 1, 3)))
+    val featureless = Seq((10L, ""), (11L, "   "), (12L, "!!! ??? ***"), (13L, "..."))
+    val pairs = Dedup.simHashNearDupPairs(
+      (near ++ featureless).toDF("doc_id", "text"), "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"feature-less docs share hash 0 but carry no signal — must not pair: $pairs")
+  }
+
   test("simhash triple buckets stay sparse where 16-bit quarters saturated (scale-true key space)") {
     // 100k random-but-deterministic hashes at cap 2: the OLD 4x16-bit
     // quarter keys put ~1.6 docs in every bucket (lambda = n/65536), so a
