@@ -312,6 +312,19 @@ object Dedup {
     * `iterations` rounds, so the caller owns the chain-length contract
     * (diameter <= ~2^iterations).
     */
+  /** Frees a localCheckpoint's blocks NOW instead of waiting for GC-driven
+    * cleanup. ONLY for checkpoints that nothing can reference again — a
+    * freed local checkpoint cannot be recomputed (its lineage is severed).
+    * Same lesson as [[Similarity.compactIndex]]: resident blocks from a
+    * finished step tax everything that runs after.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def nearDupClusters(
       df: DataFrame,
       idCol: String,
@@ -334,6 +347,14 @@ object Dedup {
     // endpoints outside `df` neither receive labels nor bridge components.
     var labels = df.select(col(idCol).as("_id"), col(idCol).as("cluster_id"))
       .join(edges.select(col("id_a").as("_id")).distinct(), Seq("_id"), "left_semi")
+    // eager (converge) mode frees each round's checkpoints as soon as the
+    // following round has materialized: a round's `jumped` intermediate and
+    // the PREVIOUS round's frame can never be referenced again, and leaving
+    // them resident accumulates 2 frames per round in the block managers
+    // for the whole clustering (the final round's frame must stay — the
+    // returned plan reads it, and a freed local checkpoint cannot be
+    // recomputed). Lazy mode frees nothing: plans are unmaterialized.
+    var prevRound: Option[DataFrame] = None
     var i = 0
     var done = false
     while (i < iterations && !done) {
@@ -371,10 +392,18 @@ object Dedup {
       // the convergence probe scans the just-materialized round for one
       // changed row (limit-1 short-circuits; the final, converged round is
       // the only full scan) — no extra join, the flag rides the round frame
-      if (converge) done = next.filter(col("_chg")).isEmpty
+      if (converge) {
+        done = next.filter(col("_chg")).isEmpty
+        freeCheckpoint(jumped)
+        prevRound.foreach(freeCheckpoint)
+        prevRound = Some(next)
+      }
       labels = next.select(col("_id"), col("cluster_id"))
       i += 1
     }
+    // the edge list is dead once the last round has materialized (the
+    // returned plan reads only the final label frame)
+    if (converge) freeCheckpoint(edges)
     if (converge && !done)
       System.err.println(s"[graft] nearDupClusters: iteration budget " +
         s"($iterations) exhausted before convergence — components with " +

@@ -207,6 +207,24 @@ class DedupSpec extends AnyFunSuite {
       "plan should collapse to a checkpointed scan regardless of iteration count")
   }
 
+  test("nearDupClusters frees per-round checkpoints: resident frames don't grow with rounds") {
+    // a 40-chain needs ~6 pointer-jumping rounds; without cleanup the block
+    // managers would hold ~2 frames/round + the edge list at the end. Only
+    // the FINAL round's frame may stay (the returned plan reads it).
+    val n = 40L
+    val docs = ((1L to n) :+ 999L).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", pairs)
+    assert(clusters.filter($"doc_id" === 1L).collect()(0).getLong(1) == 1L)
+    // unpersist is async — poll until only the final-round frame remains
+    val end = System.currentTimeMillis + 15000
+    def extra() = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    while (extra().size > 1 && System.currentTimeMillis < end) Thread.sleep(100)
+    assert(extra().size <= 1,
+      s"clustering left ${extra().size} checkpoints resident (want <= 1, the final round)")
+  }
+
   test("nearDupClusters converges on long chains (fixpoint early-stop, no fixed-round split)") {
     // a 40-doc chain has diameter 39: the old fixed 4-round budget (~2^4)
     // silently split it into several clusters; the convergence check must
