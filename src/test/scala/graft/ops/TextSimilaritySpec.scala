@@ -365,6 +365,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(filesByCell().values.forall(_.size <= 2), "filesPerCell=2 exceeded")
   }
 
+  test("compactIndex never reads untouched cells (poison proof at the I/O level)") {
+    val dim = 8
+    val corpus = (0 until 300).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
+    val centroids = Similarity.trainIvfCentroids(corpus, "vec", k = 6, sampleSize = 300)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_cpoison_").toString
+    Similarity.assignCells(corpus, "id", "vec", centroids, idx)
+    // fragment ONLY cell 0: append rows that sit exactly on centroid 0's
+    // direction, so assignment sends every one of them to cell 0
+    val c0 = centroids(0).map(_.toFloat).toSeq
+    val onC0 = (1000L until 1020L).map(i => (i, c0)).toDF("id", "vec")
+    Similarity.appendToIndex(onC0, "id", "vec", idx)
+    def files(cell: Int): Seq[java.io.File] = {
+      val d = new java.io.File(idx, s"cell=$cell")
+      if (!d.isDirectory) Seq.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+    }
+    assert(files(0).size > 1, "fixture broken: cell 0 must be the fragmented cell")
+    // poison every OTHER cell's data files (cell 0 stays readable — parquet
+    // schema inference reads the first listed file, which is cell=0's)
+    val allCells = Similarity.indexCellStats(spark, idx)
+      .select($"cell").collect().map(_.getInt(0)).toSet
+    val poisoned = (allCells - 0).flatMap(files(_))
+    assert(poisoned.nonEmpty, "fixture broken: need poisoned cells")
+    poisoned.foreach(f =>
+      java.nio.file.Files.write(f.toPath, "poisoned-not-a-parquet-file".getBytes("UTF-8")))
+    // compaction must list/read ONLY the fragmented cell — completing with
+    // garbage everywhere else proves the partition pruning at the I/O level
+    val done = Similarity.compactIndex(spark, idx)
+    assert(done == Seq(0), s"must compact exactly the fragmented cell 0: $done")
+    assert(files(0).size == 1, s"cell 0 not merged: ${files(0)}")
+    // poisoned files are untouched by the dynamic overwrite
+    poisoned.foreach { f =>
+      assert(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .startsWith("poisoned"), s"compaction rewrote an untouched cell file: $f")
+    }
+    // non-vacuous poison: reading the whole index DOES fail
+    intercept[Exception] {
+      spark.read.parquet(idx).agg(org.apache.spark.sql.functions.sum($"norm")).collect()
+    }
+  }
+
   test("filesPerCell salts the build shuffle: big cells write in parallel, results unchanged") {
     val dim = 8
     val corpus = (0 until 300).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
