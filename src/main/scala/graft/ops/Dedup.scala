@@ -296,6 +296,19 @@ object Dedup {
     df.join(survivors, Seq(idCol), "left_semi")
   }
 
+  /** Frees a localCheckpoint's blocks NOW instead of waiting for GC-driven
+    * cleanup. ONLY for checkpoints that nothing can reference again — a
+    * freed local checkpoint cannot be recomputed (its lineage is severed).
+    * Same lesson as [[Similarity.compactIndex]]: resident blocks from a
+    * finished step tax everything that runs after.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Transitive near-duplicate clusters from a pair list: each round does one
     * hop of min-label propagation over the edges PLUS a pointer-jumping step
     * (label := label(label)), so round r covers chains of length ~2^r.
@@ -312,19 +325,6 @@ object Dedup {
     * `iterations` rounds, so the caller owns the chain-length contract
     * (diameter <= ~2^iterations).
     */
-  /** Frees a localCheckpoint's blocks NOW instead of waiting for GC-driven
-    * cleanup. ONLY for checkpoints that nothing can reference again — a
-    * freed local checkpoint cannot be recomputed (its lineage is severed).
-    * Same lesson as [[Similarity.compactIndex]]: resident blocks from a
-    * finished step tax everything that runs after.
-    */
-  private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.optimizedPlan.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
-
   def nearDupClusters(
       df: DataFrame,
       idCol: String,
