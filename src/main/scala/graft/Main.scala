@@ -332,6 +332,7 @@ object Main {
       case "dedup-simhash-hashes" =>
         import org.apache.spark.sql.functions._
         import spark.implicits._
+        need(args, 3, "<rows> <outPath> [maxHamming] [maxBucketSize] [planted]")
         val Array(_, rowsS, out) = args.take(3)
         val rows = rowsS.toLong
         val maxHamming = if (args.length > 3) args(3).toInt else 3

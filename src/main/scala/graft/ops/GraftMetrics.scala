@@ -11,14 +11,17 @@ import org.apache.spark.sql.util.QueryExecutionListener
 /** Runtime observability for the LSH bucket caps: dropping oversized buckets
   * ([[Dedup]]'s `dropOversizedBuckets`) is the right quadratic-blowup trade,
   * but silent truncation reads as "no near-dups found" when the real story is
-  * "the corpus saturated the buckets" (e.g. simhash's 4x16-bit quarters
-  * saturate around ~4M docs and the operator would quietly return near-zero
-  * pairs). The dropped-row share is therefore measured ON EVERY RUN and
-  * surfaced two ways:
+  * "the corpus saturated the buckets" (simhash's retired 4x16-bit quarter
+  * keys did exactly that: template-heavy text concentrated one quarter
+  * bucket to 75k rows at only 2M docs and the then-silent cap ate 21% of the
+  * true pairs — measured, BASELINE.md round 5). The dropped-row share is
+  * therefore measured ON EVERY RUN and surfaced three ways:
   *   - a loud stderr warning when the share exceeds [[WarnDropFraction]],
   *     naming the operator and the fraction lost;
   *   - programmatically via [[lastBucketCapStats]] for pipelines that must
-  *     gate on recall loss.
+  *     gate on recall loss;
+  *   - an [[elidedRuns]] record + warning when an empty-result plan made AQE
+  *     discard the metric node itself, so even an unmeasurable run is loud.
   *
   * The measurement is FREE at plan level: a `Dataset.observe` node over the
   * per-bucket counts the cap already aggregates — no extra shuffle, no extra
