@@ -365,6 +365,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(filesByCell().values.forall(_.size <= 2), "filesPerCell=2 exceeded")
   }
 
+  test("compactIndex maxCells bounds one run, most-fragmented cells first") {
+    val dim = 8
+    val corpus = (0 until 200).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
+    val centroids = Similarity.trainIvfCentroids(corpus, "vec", k = 4, sampleSize = 200)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_maxcells_").toString
+    Similarity.assignCells(corpus, "id", "vec", centroids, idx)
+    // fragment cell A twice and cell B once: A ends at 3 files, B at 2
+    def onCentroid(c: Int, ids: Range) =
+      ids.map(i => (i.toLong, centroids(c).map(_.toFloat).toSeq)).toDF("id", "vec")
+    Similarity.appendToIndex(onCentroid(0, 1000 until 1010), "id", "vec", idx)
+    Similarity.appendToIndex(onCentroid(0, 1010 until 1020), "id", "vec", idx)
+    Similarity.appendToIndex(onCentroid(1, 2000 until 2010), "id", "vec", idx)
+    val filesOf = Similarity.indexCellStats(spark, idx)
+      .collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
+    assert(filesOf(0) == 3 && filesOf(1) == 2, s"fixture: $filesOf")
+    // one bounded run compacts ONLY the most fragmented cell
+    val first = Similarity.compactIndex(spark, idx, maxCells = 1)
+    assert(first == Seq(0), s"most-fragmented cell first: $first")
+    val after1 = Similarity.indexCellStats(spark, idx)
+      .collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
+    assert(after1(0) == 1 && after1(1) == 2, s"bounded run touched extra cells: $after1")
+    // the next bounded run picks up the remaining fragmentation
+    val second = Similarity.compactIndex(spark, idx, maxCells = 1)
+    assert(second == Seq(1), s"incremental continuation: $second")
+    assert(Similarity.compactIndex(spark, idx, maxCells = 1).isEmpty)
+  }
+
   test("compactIndex never reads untouched cells (poison proof at the I/O level)") {
     val dim = 8
     val corpus = (0 until 300).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
