@@ -418,53 +418,67 @@ object Dedup {
   }
 
   // --- SimHash multi-piece bucketing --------------------------------------
-  // The 64-bit simhash is split into 6 blocks (11,11,11,11,10,10 bits). A
-  // pair within Hamming <= 3 has its differing bits inside at most 3 blocks,
-  // so at least 6 - 3 = 3 blocks agree BIT-FOR-BIT — hence the pair shares
-  // at least one of the C(6,3) = 20 block-TRIPLE bucket keys (pigeonhole;
-  // the guarantee needs blocks - tripleSize >= maxHamming). Each triple key
-  // carries ~32 bits of hash, vs 16 bits for the previous 4-quarter scheme:
-  // random-corpus bucket occupancy drops from corpus/2^16 per quarter (every
-  // bucket past any sane cap by a few million docs — the operator then
-  // loudly reported nothing) to corpus/2^32 per triple, which stays sparse
-  // into the billions. Cost: 20 (key, id, hash) rows per doc instead of 4 —
-  // ~5x the (still tiny, ~24 B/row) band traffic.
-  private[ops] val SimHashBlockBits: Array[Int] = Array(11, 11, 11, 11, 10, 10)
-  private[ops] val SimHashBlockOffset: Array[Int] =
-    SimHashBlockBits.scanLeft(0)(_ + _).init
-  private[ops] val SimHashTriples: IndexedSeq[(Int, Int, Int)] =
+  // The 64-bit simhash is split into `maxHamming + 3` near-equal blocks and
+  // bucketed on every block TRIPLE. A pair within Hamming <= m corrupts at
+  // most m blocks, so at least (m + 3) - m = 3 blocks agree BIT-FOR-BIT —
+  // the pair shares at least one of the C(m+3, 3) triple keys (pigeonhole;
+  // the guarantee needs blocks - tripleSize >= maxHamming). At the default
+  // m = 3 that is 6 blocks (11,11,11,11,10,10 bits) and 20 keys of ~32 bits
+  // — vs 16 bits for the retired 4-quarter scheme, whose every bucket
+  // passed any sane cap by a few million docs (and, measured, saturated on
+  // TEMPLATED text at only 2M): random-corpus occupancy drops from
+  // corpus/2^16 per quarter to corpus/2^32 per triple, sparse into the
+  // billions. Larger m trades both fan-out and key width: m = 6 buckets on
+  // C(9,3) = 84 keys of ~21 bits (occupancy corpus/2M per key). Cost at
+  // m = 3: 20 (key, id, hash) rows per doc instead of 4 — ~5x the (still
+  // tiny, ~24 B/row) band traffic.
+  val SimHashMaxHammingLimit = 6
+
+  /** Near-even 64-bit split into `blocks` pieces: the first (64 mod blocks)
+    * blocks take the extra bit. blocks = 6 yields 11,11,11,11,10,10 —
+    * bit-identical to the fixed layout the 20-triple scheme shipped with.
+    */
+  private[ops] def simHashBlockBits(blocks: Int): Array[Int] =
+    Array.tabulate(blocks)(b => 64 / blocks + (if (b < 64 % blocks) 1 else 0))
+
+  private[ops] def simHashTriples(blocks: Int): IndexedSeq[(Int, Int, Int)] =
     for {
-      i <- SimHashBlockBits.indices
-      j <- i + 1 until SimHashBlockBits.length
-      k <- j + 1 until SimHashBlockBits.length
+      i <- 0 until blocks
+      j <- i + 1 until blocks
+      k <- j + 1 until blocks
     } yield (i, j, k)
 
-  /** All 20 block-triple bucket keys of one 64-bit simhash column, each ONE
-    * long: the triple index (0..19) in the top bits tags the triple's three
-    * blocks concatenated (<= 33 bits) — `t << 33 | blocks`, collision-free
-    * across triples by construction. A flat 8-byte key shuffles, hashes, and
-    * aggregates cheaper than the struct(t, v) it replaces. Pure column
-    * algebra over one projected hash value — the hash is computed once per
-    * row, never per key.
+  /** All C(blocks,3) block-triple bucket keys of one 64-bit simhash column,
+    * each ONE long: the triple index in the top bits tags the triple's three
+    * blocks concatenated — `t << 48 | blocks`, collision-free across triples
+    * by construction (the widest supported triple is 3 x 16 = 48 bits at 4
+    * blocks, and the largest tag, C(9,3) - 1 = 83, fits bits 48..55). A
+    * flat 8-byte key shuffles, hashes, and aggregates cheaper than a struct
+    * key. Pure column algebra over one projected hash value — the hash is
+    * computed once per row, never per key.
     */
-  private def simHashTripleKeys(sh: Column): Column = {
+  private def simHashTripleKeys(sh: Column, blocks: Int): Column = {
+    val bits = simHashBlockBits(blocks)
+    val offset = bits.scanLeft(0)(_ + _).init
     def block(b: Int): Column =
-      shiftrightunsigned(sh, SimHashBlockOffset(b))
-        .bitwiseAND(lit((1L << SimHashBlockBits(b)) - 1))
-    array(SimHashTriples.zipWithIndex.map { case ((i, j, k), t) =>
-      shiftleft(block(i), SimHashBlockBits(j) + SimHashBlockBits(k)) +
-        shiftleft(block(j), SimHashBlockBits(k)) + block(k) +
-        lit(t.toLong << 33)
+      shiftrightunsigned(sh, offset(b)).bitwiseAND(lit((1L << bits(b)) - 1))
+    array(simHashTriples(blocks).zipWithIndex.map { case ((i, j, k), t) =>
+      shiftleft(block(i), bits(j) + bits(k)) +
+        shiftleft(block(j), bits(k)) + block(k) +
+        lit(t.toLong << 48)
     }: _*)
   }
 
   /** SimHash near-duplicate pairs: same 64-bit simhash up to `maxHamming`
-    * differing bits. Buckets by the 20 block-triple keys (any pair within
-    * Hamming <= 3 must fully agree on at least one triple — see
-    * [[SimHashBlockBits]]), verifies exact Hamming distance inside buckets
-    * only. Completeness therefore never depends on luck: bucketing is a
-    * covering code for Hamming <= 3, and the verify filter makes false
-    * bucket collisions harmless.
+    * differing bits (1..[[SimHashMaxHammingLimit]]). Buckets by the
+    * C(maxHamming+3, 3) block-triple keys (any pair within the Hamming bound
+    * must fully agree on at least one triple — see [[simHashBlockBits]]),
+    * verifies exact Hamming distance inside buckets only. Completeness
+    * therefore never depends on luck: bucketing is a covering code for the
+    * requested bound, and the verify filter makes false bucket collisions
+    * harmless. Fan-out and key width both scale with the bound (m = 3: 20
+    * keys of ~32 bits; m = 6: 84 keys of ~21 bits) — prefer the smallest
+    * maxHamming the task tolerates.
     *
     * `maxBucketSize` caps triple buckets exactly like minhash's band cap: a
     * boilerplate-heavy corpus where thousands of near-identical docs share
@@ -503,9 +517,12 @@ object Dedup {
       hashCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 10000): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      "6-block triple bucketing covers Hamming <= 3 only (6 blocks - 3 per " +
-        "triple >= maxHamming)")
+    require(maxHamming >= 0 && maxHamming <= SimHashMaxHammingLimit,
+      s"block-triple bucketing supports maxHamming <= $SimHashMaxHammingLimit " +
+        s"(maxHamming + 3 blocks keyed on triples; got $maxHamming — beyond " +
+        s"$SimHashMaxHammingLimit the ~${64 / (SimHashMaxHammingLimit + 3)}-bit " +
+        s"blocks stop discriminating and the fan-out grows combinatorially)")
+    val blocks = math.max(maxHamming, 1) + 3
     // null hashes (null text upstream, or nulls in a stored fingerprint
     // column) can never pair — a null key matches nothing in the bucket
     // equi-join — but WOULD band into one shared null bucket first, where a
@@ -516,7 +533,7 @@ object Dedup {
       .filter(col("_sh").isNotNull)
     val banded = dropOversizedBuckets(
       hashed.select(col("_id"), col("_sh"),
-        explode(simHashTripleKeys(col("_sh"))).as("_bucket")),
+        explode(simHashTripleKeys(col("_sh"), blocks)).as("_bucket")),
       "_bucket", maxBucketSize, "simhash")
     val a = banded.select(col("_bucket"), col("_id").as("id_a"), col("_sh").as("_sh_a"))
     val b = banded.select(col("_bucket"), col("_id").as("id_b"), col("_sh").as("_sh_b"))

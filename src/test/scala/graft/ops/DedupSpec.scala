@@ -524,6 +524,38 @@ class DedupSpec extends AnyFunSuite {
       s"feature-less docs share hash 0 but carry no signal — must not pair: $pairs")
   }
 
+  test("simhash generalized bound: worst-case Hamming<=m pairs found for m=4..6, m+1 never") {
+    // maxHamming = m uses m+3 blocks keyed on triples: m corrupted blocks
+    // still leave 3 agreeing ones. Plant the adversarial case — one flipped
+    // bit in each of m DIFFERENT blocks (block-start offsets) — plus an
+    // (m+1)-block distractor that must never pair at bound m.
+    for (m <- 4 to 6) {
+      val blocks = m + 3
+      val bits = Dedup.simHashBlockBits(blocks)
+      val offsets = bits.scanLeft(0)(_ + _).init
+      assert(bits.sum == 64, s"block split must cover 64 bits: ${bits.toSeq}")
+      val mask = (0 until m).map(b => 1L << offsets(b)).reduce(_ | _)
+      val distractor = (0 to m).map(b => 1L << offsets(b)).reduce(_ | _)
+      val base = 0x5a5a1234deadbeefL
+      val rows = Seq((1L, base), (2L, base ^ mask), (3L, base ^ distractor))
+        .toDF("id", "sh")
+      val pairs = Dedup.simHashNearDupPairsOnHashes(rows, "id", "sh", maxHamming = m)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+      assert(pairs.get((1L, 2L)).contains(m),
+        s"m=$m: worst-case plant missed or wrong hamming: $pairs")
+      assert(!pairs.contains((1L, 3L)),
+        s"m=$m: hamming-${m + 1} distractor must not pair: $pairs")
+      // 2 vs 3 differ in exactly 1 bit -> always within any bound
+      assert(pairs.get((2L, 3L)).contains(1), s"m=$m: 1-bit pair missed: $pairs")
+    }
+    // beyond the supported limit the operator refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      Dedup.simHashNearDupPairsOnHashes(
+        Seq((1L, 0L)).toDF("id", "sh"), "id", "sh", maxHamming = 7)
+    }
+    assert(err.getMessage.contains("maxHamming"))
+  }
+
   test("simhash triple buckets stay sparse where 16-bit quarters saturated (scale-true key space)") {
     // 100k random-but-deterministic hashes at cap 2: the OLD 4x16-bit
     // quarter keys put ~1.6 docs in every bucket (lambda = n/65536), so a
