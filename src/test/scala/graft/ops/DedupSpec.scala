@@ -524,12 +524,14 @@ class DedupSpec extends AnyFunSuite {
       s"feature-less docs share hash 0 but carry no signal — must not pair: $pairs")
   }
 
-  test("simhash generalized bound: worst-case Hamming<=m pairs found for m=4..6, m+1 never") {
+  test("simhash generalized bound: worst-case Hamming<=m pairs found for m=1..6, m+1 never") {
     // maxHamming = m uses m+3 blocks keyed on triples: m corrupted blocks
     // still leave 3 agreeing ones. Plant the adversarial case — one flipped
     // bit in each of m DIFFERENT blocks (block-start offsets) — plus an
-    // (m+1)-block distractor that must never pair at bound m.
-    for (m <- 4 to 6) {
+    // (m+1)-block distractor that must never pair at bound m. (m < 3 gets
+    // FEWER, WIDER keys than the fixed 6-block scheme: e.g. m=1 uses 4
+    // blocks -> 4 keys of 48 bits — less fan-out, sparser buckets.)
+    for (m <- 1 to 6) {
       val blocks = m + 3
       val bits = Dedup.simHashBlockBits(blocks)
       val offsets = bits.scanLeft(0)(_ + _).init
