@@ -85,10 +85,10 @@ object Main {
           f"${st.droppedBuckets} oversized buckets at cap ${st.maxBucketSize}) — " +
           f"pairs entirely inside dropped buckets are not reported"
       case None if graft.ops.GraftMetrics.elidedRuns(op) > 0 =>
-        s"[graft] $op bucket-cap: drop share UNKNOWN — the metric was elided " +
-          s"by empty-result plan pruning (an empty result is exactly when cap " +
-          s"truncation would hide); inspect bucket counts directly or rerun " +
-          s"with spark.sql.adaptive.enabled=false"
+        s"[graft] $op bucket-cap: drop share UNKNOWN — the in-plan metric was " +
+          s"not delivered AND the direct re-measurement failed (an empty " +
+          s"result is exactly when cap truncation would hide); inspect " +
+          s"bucket counts directly"
       case None => s"[graft] $op bucket-cap: no capped run recorded"
     }
   }
@@ -339,6 +339,11 @@ object Main {
         val maxBucketSize = if (args.length > 4) args(4).toInt else 10000
         val planted = if (args.length > 5) args(5).toLong else 1000L
         require(planted <= rows, s"planted ($planted) must be <= rows ($rows)")
+        // clone ids are base id + 2^41: base ids at or beyond 2^41 would
+        // collide with clone ids (duplicate ids break pair election and the
+        // planted_found count) in a command explicitly billed as web-scale
+        require(rows < (1L << 41), s"rows ($rows) must be < 2^41 " +
+          s"(clone ids are id + 2^41 and must not collide with base ids)")
         val hashes = spark.range(rows)
           .select(col("id"), functions.wyhash64(col("id")).as("sh"))
         val mask = (1L << 5) | (1L << 27) | (1L << 60) // blocks 0, 2, 5

@@ -130,17 +130,18 @@ object Dedup {
     val counts = GraftMetrics.observeBucketCap(
       banded.groupBy(col(bucketCol)).agg(count(lit(1)).as("_bn")),
       opName, maxBucketSize)
-    // DELIVERY CAVEAT (handled in GraftMetrics): when the enclosing query's
-    // result is empty, AQE's empty-relation propagation replaces collapsed
-    // ancestor joins and discards this subtree — including the executed
-    // CollectMetrics node — from the final plan, so the metric is never
-    // delivered (measured: an all-boilerplate corpus recorded nothing under
-    // AQE, everything with AQE off; neither a post-join cap filter nor a
-    // sentinel build row survives, because ANY empty stage above collapses
-    // the whole branch). The listener therefore detects observe names that
-    // were in the analyzed plan but missing from the delivered metrics and
-    // warns that the drop share is UNMEASURED — an empty result is exactly
-    // when silent cap truncation would hide.
+    // DELIVERY CAVEAT (handled in GraftMetrics): two plan shapes never
+    // deliver the in-plan metric — empty results under AQE (empty-relation
+    // propagation discards the CollectMetrics node with the collapsed
+    // subtree; measured: an all-boilerplate corpus recorded nothing under
+    // AQE, everything with AQE off) and lazy-localCheckpoint consumers (the
+    // clustering/transitive paths: checkpoint creation carries the node but
+    // runs no job, and the materialization later runs as a LogicalRDD
+    // without it). The listener detects observe names planned but missing
+    // from the delivered metrics and MEASURES the counts aggregate directly
+    // (one extra banding pass, only for those runs), so the drop share is
+    // real numbers even there — an empty result is exactly when silent cap
+    // truncation would hide.
     val smallBuckets = counts
       .filter(col("_bn") <= maxBucketSize)
       .select(col(bucketCol))
@@ -470,7 +471,8 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs: same 64-bit simhash up to `maxHamming`
-    * differing bits (1..[[SimHashMaxHammingLimit]]). Buckets by the
+    * differing bits (0..[[SimHashMaxHammingLimit]]; 0 = identical hashes
+    * only, bucketed like maxHamming = 1). Buckets by the
     * C(maxHamming+3, 3) block-triple keys (any pair within the Hamming bound
     * must fully agree on at least one triple — see [[simHashBlockBits]]),
     * verifies exact Hamming distance inside buckets only. Completeness

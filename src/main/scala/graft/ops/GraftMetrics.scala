@@ -20,13 +20,28 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *     naming the operator and the fraction lost;
   *   - programmatically via [[lastBucketCapStats]] for pipelines that must
   *     gate on recall loss;
-  *   - an [[elidedRuns]] record + warning when an empty-result plan made AQE
-  *     discard the metric node itself, so even an unmeasurable run is loud.
+  *   - when the in-plan metric is NOT delivered, by MEASURING DIRECTLY: the
+  *     listener re-runs the per-bucket count aggregate as its own small job
+  *     and records real numbers. [[elidedRuns]] + a warning remain only as
+  *     the last-resort trace when even that direct measurement fails.
   *
-  * The measurement is FREE at plan level: a `Dataset.observe` node over the
+  * The in-plan measurement is FREE: a `Dataset.observe` node over the
   * per-bucket counts the cap already aggregates — no extra shuffle, no extra
   * scan, no eager action (the plan stays a lazy builder; metrics fire through
-  * the QueryExecutionListener when the enclosing query actually runs).
+  * the QueryExecutionListener when the enclosing query actually runs). Two
+  * known plan shapes never deliver it, and both now fall through to the
+  * direct measurement instead of an UNKNOWN record:
+  *   - empty-result plans under AQE: empty-relation propagation replaces the
+  *     collapsed subtree — CollectMetrics node included — before the final
+  *     plan is walked (and an empty result is exactly when silent cap
+  *     truncation would hide);
+  *   - plans consumed via lazy `localCheckpoint` (the transitive-dedup /
+  *     clustering paths): the checkpoint-creation execution carries the
+  *     observe node but runs no job, and the later materialization runs
+  *     under a LogicalRDD plan that no longer contains it.
+  * The direct measurement costs one extra pass over the banding aggregate
+  * FOR EXACTLY THOSE RUNS (delivered metrics stay free); it runs on its own
+  * daemon thread so the shared listener bus is never blocked behind a job.
   */
 object GraftMetrics {
 
@@ -81,48 +96,96 @@ object GraftMetrics {
   def allBucketCapStats(opName: String): Seq[BucketCapStats] =
     Option(stats.get(opName)).map(_.values.toSeq).getOrElse(Seq.empty)
 
-  /** Number of capped runs of `opName` whose drop-share metric was ELIDED:
-    * the observe node was in the plan but no metric arrived, because AQE's
-    * empty-relation propagation replaced an empty-result subtree (and the
-    * CollectMetrics inside it) before the final plan was walked. An elided
-    * run means the drop share is UNKNOWN, not zero — and an empty result is
-    * exactly when silent cap truncation would hide, so gating pipelines
-    * should treat elided runs as suspect (inspect bucket counts directly,
-    * or rerun with spark.sql.adaptive.enabled=false to measure).
+  /** Number of capped runs of `opName` whose drop-share metric could not be
+    * obtained AT ALL: the observe node was in the plan, no metric arrived
+    * (AQE empty-relation elision, or a lazily-checkpointed plan), AND the
+    * direct re-measurement of the per-bucket counts itself failed. An
+    * elided run means the drop share is UNKNOWN, not zero — gating
+    * pipelines should treat such runs as suspect and inspect bucket counts
+    * by hand. With the measure-on-miss fallback this should be ~never.
     */
   def elidedRuns(opName: String): Long =
     Option(elided.get(opName)).map(_.get()).getOrElse(0L)
 
   private val elided = new ConcurrentHashMap[String, AtomicLong]()
 
+  /** Direct-measurement thunks for capped plans whose in-plan metric never
+    * arrives (keyed by the full observe name). Bounded: a plan that is built
+    * but never executed would otherwise pin its logical plan here forever.
+    */
+  private val MaxPending = 256
+  private val pendingMeasure = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, () => BucketCapStats]() {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, () => BucketCapStats]): Boolean =
+        size() > MaxPending
+    })
+
   private[graft] def resetBucketCapStats(): Unit = { stats.clear(); elided.clear() }
 
   /** Wraps the per-bucket `(bucket, _bn)` count frame with the observation.
     * maxBucketSize rides in the metric name (observe expressions must be
     * aggregates or constants, and a name parse is simpler than a synthetic
-    * constant aggregate).
+    * constant aggregate). The RAW counts frame (no observe node) is kept as
+    * the measure-on-miss thunk — re-running it cannot interact with the
+    * listener, because it contains no CollectMetrics at all.
     */
   private[ops] def observeBucketCap(counts: DataFrame, opName: String,
       maxBucketSize: Int): DataFrame = {
     ensureListener(counts.sparkSession)
+    val name = s"$Prefix$opName#$maxBucketSize#${nameCounter.incrementAndGet()}"
+    pendingMeasure.put(name, () => {
+      val r = counts.agg(
+        coalesce(sum(col("_bn")), lit(0L)),
+        coalesce(sum(when(col("_bn") > maxBucketSize, col("_bn"))), lit(0L)),
+        count(when(col("_bn") > maxBucketSize, lit(1)))).collect()(0)
+      BucketCapStats(r.getLong(0), r.getLong(1), r.getLong(2), maxBucketSize)
+    })
     counts.observe(
-      s"$Prefix$opName#$maxBucketSize#${nameCounter.incrementAndGet()}",
+      name,
       coalesce(sum(col("_bn")), lit(0L)).as("banded_rows"),
       coalesce(sum(when(col("_bn") > maxBucketSize, col("_bn"))), lit(0L))
         .as("dropped_rows"),
       count(when(col("_bn") > maxBucketSize, lit(1))).as("dropped_buckets"))
   }
 
+  private def recordStats(op: String, counter: Long, s: BucketCapStats,
+      via: String): Unit = {
+    stats.compute(op, (_, old) => {
+      val base = if (old == null)
+        scala.collection.immutable.TreeMap.empty[Long, BucketCapStats]
+      else old
+      val next = base + (counter -> s)
+      if (next.size > MaxStatsPerOp) next.drop(next.size - MaxStatsPerOp)
+      else next
+    })
+    if (s.droppedFraction > WarnDropFraction)
+      System.err.println(
+        f"[graft] $op: bucket cap (maxBucketSize=${s.maxBucketSize}) " +
+        f"dropped ${s.droppedRows} of ${s.bandedRows} banded rows " +
+        f"(${s.droppedFraction * 100}%.1f%%) across ${s.droppedBuckets} " +
+        f"oversized buckets$via — pairs inside those buckets are NOT " +
+        f"reported; raise maxBucketSize, add planes/bands, or route " +
+        f"boilerplate through exact dedup first")
+  }
+
+  private def hasStats(op: String, counter: Long): Boolean =
+    Option(stats.get(op)).exists(_.contains(counter))
+
   private def ensureListener(spark: SparkSession): Unit = {
     if (registered.add(spark)) {
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
             durationNs: Long): Unit = {
-          // elision detection: a bucket-cap observe that the ANALYZED plan
-          // carries but the delivered metrics lack was optimized out of the
-          // final plan (AQE replaces empty-result subtrees wholesale, and
-          // the CollectMetrics node goes with them). Record + warn: the
-          // drop share of that run is unknown, not zero.
+          // a bucket-cap observe the ANALYZED plan carries but the delivered
+          // metrics lack never executed in this query (AQE replaced an
+          // empty-result subtree wholesale, or a lazy localCheckpoint
+          // registered the plan without running a job and the later
+          // materialization runs as a LogicalRDD without the node).
+          // MEASURE DIRECTLY instead of recording UNKNOWN: the raw counts
+          // aggregate re-runs as its own job on a daemon thread (never on
+          // the shared listener bus), and only a failed measurement leaves
+          // an elision record.
           val planned = scala.collection.mutable.Set[String]()
           qe.analyzed.foreach {
             case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
@@ -131,44 +194,51 @@ object GraftMetrics {
           }
           planned.diff(qe.observedMetrics.keySet).foreach { name =>
             name.stripPrefix(Prefix).split('#') match {
-              case Array(op, cap, _) =>
-                elided.computeIfAbsent(op, _ => new AtomicLong()).incrementAndGet()
-                System.err.println(
-                  s"[graft] $op: bucket-cap drop-share metric (maxBucketSize=" +
-                  s"$cap) was ELIDED for this run — the query produced an " +
-                  s"empty intermediate result and adaptive empty-relation " +
-                  s"pruning discarded the metric node, so the dropped-row " +
-                  s"share is UNKNOWN (an empty result is exactly when cap " +
-                  s"truncation would hide); inspect bucket counts directly " +
-                  s"or rerun with spark.sql.adaptive.enabled=false to measure")
+              case Array(op, cap, counter) =>
+                // remove-then-measure: each capped plan is measured at most
+                // once, even if several executions miss the same metric
+                val thunk = pendingMeasure.remove(name)
+                if (thunk != null) {
+                  val t = new Thread(() => {
+                    try recordStats(op, counter.toLong, thunk(),
+                      " (measured directly: the in-plan metric was not delivered)")
+                    catch {
+                      case e: Throwable =>
+                        elided.computeIfAbsent(op, _ => new AtomicLong())
+                          .incrementAndGet()
+                        System.err.println(
+                          s"[graft] $op: bucket-cap drop-share metric " +
+                          s"(maxBucketSize=$cap) was not delivered in-plan AND " +
+                          s"the direct measurement failed (${e.getMessage}) — " +
+                          s"the dropped-row share of this run is UNKNOWN; " +
+                          s"inspect bucket counts directly")
+                    }
+                  }, s"graft-cap-measure-$op-$counter")
+                  t.setDaemon(true)
+                  t.start()
+                } else if (!hasStats(op, counter.toLong)) {
+                  // no thunk (evicted) and never recorded: the last-resort
+                  // UNKNOWN trace — a capped run must always leave one
+                  elided.computeIfAbsent(op, _ => new AtomicLong()).incrementAndGet()
+                  System.err.println(
+                    s"[graft] $op: bucket-cap drop-share metric (maxBucketSize=" +
+                    s"$cap) was not delivered and its measurement thunk is no " +
+                    s"longer held — the dropped-row share of this run is " +
+                    s"UNKNOWN; inspect bucket counts directly")
+                }
               case _ => ()
             }
           }
           qe.observedMetrics.foreach { case (name, row) =>
             if (name.startsWith(Prefix)) {
+              pendingMeasure.remove(name) // delivered: the thunk is dead weight
               name.stripPrefix(Prefix).split('#') match {
                 case Array(op, cap, counter) =>
-                  val s = BucketCapStats(
+                  recordStats(op, counter.toLong, BucketCapStats(
                     row.getAs[Long]("banded_rows"),
                     row.getAs[Long]("dropped_rows"),
                     row.getAs[Long]("dropped_buckets"),
-                    cap.toInt)
-                  stats.compute(op, (_, old) => {
-                    val base = if (old == null)
-                      scala.collection.immutable.TreeMap.empty[Long, BucketCapStats]
-                    else old
-                    val next = base + (counter.toLong -> s)
-                    if (next.size > MaxStatsPerOp) next.drop(next.size - MaxStatsPerOp)
-                    else next
-                  })
-                  if (s.droppedFraction > WarnDropFraction)
-                    System.err.println(
-                      f"[graft] $op: bucket cap (maxBucketSize=${s.maxBucketSize}) " +
-                      f"dropped ${s.droppedRows} of ${s.bandedRows} banded rows " +
-                      f"(${s.droppedFraction * 100}%.1f%%) across ${s.droppedBuckets} " +
-                      f"oversized buckets — pairs inside those buckets are NOT " +
-                      f"reported; raise maxBucketSize, add planes/bands, or route " +
-                      f"boilerplate through exact dedup first")
+                    cap.toInt), "")
                 case _ => ()
               }
             }

@@ -431,14 +431,15 @@ class DedupSpec extends AnyFunSuite {
     assert(clean.droppedRows == 0 && clean.bandedRows == 1240, s"uncapped: $clean")
   }
 
-  test("an all-dropped cap run is never SILENT: measured stats or a loud elision record") {
+  test("an all-dropped cap run is never SILENT: real MEASURED stats, even when AQE elides the metric") {
     // when every bucket is over cap the query's result is empty, and AQE's
     // empty-relation propagation discards the CollectMetrics node with the
-    // collapsed subtree — the metric can then never be delivered (verified
-    // empirically; no plan shape survives, the whole branch is replaced).
-    // The listener detects the elision from the analyzed plan instead: the
-    // contract is that a capped run ALWAYS leaves a trace — either measured
-    // drop-share stats, or an elision record saying the share is UNKNOWN.
+    // collapsed subtree — the in-plan metric can then never be delivered
+    // (verified empirically; no plan shape survives, the whole branch is
+    // replaced). The listener now MEASURES the counts aggregate directly on
+    // that miss, so the contract is strict: a capped run always ends with
+    // real drop-share numbers; elidedRuns is only the failed-measurement
+    // fallback and must stay zero here.
     GraftMetrics.resetBucketCapStats()
     val docs = (0 until 60).map(i => (100L + i, "boilerplate legal footer " +
       "all rights reserved contact us terms of service privacy policy"))
@@ -446,14 +447,34 @@ class DedupSpec extends AnyFunSuite {
     val n = Dedup.simHashNearDupPairs(docs, "doc_id", "text",
       maxHamming = 3, maxBucketSize = 50).count()
     assert(n == 0, s"fixture must drop everything, got $n pairs")
-    val end = System.currentTimeMillis + 20000
-    while (GraftMetrics.elidedRuns("simhash") == 0 &&
-        GraftMetrics.lastBucketCapStats("simhash").isEmpty &&
-        System.currentTimeMillis < end) Thread.sleep(50)
-    val measured = GraftMetrics.lastBucketCapStats("simhash")
-    val elided = GraftMetrics.elidedRuns("simhash")
-    assert(elided >= 1 || measured.exists(_.droppedRows == 1200),
-      s"all-dropped run left no trace: measured=$measured elided=$elided")
+    val s = awaitCapStats("simhash")
+    // 60 docs x 20 triples, every bucket over cap 50 -> all 1200 rows dropped
+    assert(s.bandedRows == 1200 && s.droppedRows == 1200 && s.droppedBuckets == 20,
+      s"expected fully-measured all-dropped stats: $s")
+    assert(GraftMetrics.elidedRuns("simhash") == 0,
+      "direct measurement must succeed — no UNKNOWN elision record")
+  }
+
+  test("transitive/cluster paths measure the cap metric too (lazy-checkpoint miss is not a false elision)") {
+    // the pairs plan is consumed via a lazy localCheckpoint inside
+    // nearDupClusters: checkpoint creation carries the observe node but runs
+    // no job, and the materialization later runs as a LogicalRDD without it
+    // — the in-plan metric is NEVER delivered on this path. It used to be
+    // recorded as a (false) AQE elision with stats=None; the listener must
+    // now measure real numbers and leave elidedRuns at zero.
+    GraftMetrics.resetBucketCapStats()
+    val docs = (0 until 60).map(i => (100L + i, "boilerplate legal footer " +
+      "all rights reserved contact us terms of service privacy policy"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.minHashDedupTransitive(docs, "doc_id", "text",
+      threshold = 0.8, maxBucketSize = 50).count()
+    assert(kept == 60L, "all-over-cap buckets emit no pairs -> everything survives")
+    val s = awaitCapStats("minhash")
+    // 60 identical texts x 16 bands, every band bucket (60 rows) over cap 50
+    assert(s.bandedRows == 960 && s.droppedRows == 960 && s.droppedBuckets == 16,
+      s"expected measured stats on the transitive path: $s")
+    assert(GraftMetrics.elidedRuns("minhash") == 0,
+      s"lazy-checkpoint miss must not be recorded as an elision")
   }
 
   test("simhash triple bucketing: every Hamming<=3 flip pattern pairs, including worst-case block spread") {
