@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Main <jar> generate-pages <outPath> <rows> <distinctUrls>
   * spark-submit --class graft.Main <jar> dedup-exact <pagesPath> <outPath>
   * spark-submit --class graft.Main <jar> dedup-minhash <pagesPath> <outPath> [threshold]
+  * spark-submit --class graft.Main <jar> dedup-minhash-onsigs <pagesPath> <sigDir> <outPath> [threshold]
   * spark-submit --class graft.Main <jar> dedup-simhash <pagesPath> <outPath> [maxHamming] [maxBucketSize]
   * spark-submit --class graft.Main <jar> dedup-simhash-hashes <rows> <outPath> [maxHamming] [maxBucketSize] [planted]
   * spark-submit --class graft.Main <jar> dedup-embedding <rows> <dim> <cloneRows> <outPath> [threshold] [maxBucketSize] [planes] [tables]
@@ -199,6 +200,47 @@ object Main {
             org.apache.spark.sql.functions.lit(1)).as("kept"))
           .write.mode("overwrite").parquet(out)
         printCapStats("minhash")
+
+      // Stored-signature minhash soak (fingerprint-at-ingest): phase 1
+      // writes the per-doc signatures once (timed), phase 2 derives pairs
+      // from the STORED column only (timed), and the text path runs on the
+      // same corpus for the head-to-head. The output row carries a plan
+      // probe counting minhash_signature occurrences in each executed plan —
+      // phase 2 must show ZERO (the up-to-3x per-run re-hash disappears).
+      case "dedup-minhash-onsigs" =>
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        need(args, 4, "<pagesPath> <sigDir> <outPath> [threshold]")
+        val Array(_, in, sigDir, out) = args.take(4)
+        val threshold = if (args.length > 4) args(4).toDouble else 0.8
+        val pages = pagesWithUniqueRid(spark, in)
+        def secs[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime()
+          val a = f
+          (a, (System.nanoTime() - t0) / 1e9)
+        }
+        val (_, ingestSec) = secs(
+          Dedup.minHashSignatures(pages, "_rid", "text")
+            .write.mode("overwrite").parquet(sigDir))
+        val onSigs = Dedup.minHashNearDupPairsOnSignatures(
+          spark.read.parquet(sigDir), "_rid", "minhash_sig", threshold)
+        def rehashes(df: org.apache.spark.sql.DataFrame): Long =
+          "minhash_signature".r.findAllIn(df.queryExecution.executedPlan.toString).size
+        val onSigsRehashes = rehashes(onSigs)
+        val (onSigsPairs, onSigsSec) = secs(onSigs.count())
+        val fromText = Dedup.minHashNearDupPairs(pages, "_rid", "text", threshold,
+          cacheSignatures = false)
+        val textRehashes = rehashes(fromText)
+        val (textPairs, textSec) = secs(fromText.count())
+        require(onSigsPairs == textPairs,
+          s"stored-signature path diverged: $onSigsPairs vs $textPairs pairs")
+        Seq((onSigsPairs, textPairs, ingestSec, onSigsSec, textSec,
+          onSigsRehashes, textRehashes))
+          .toDF("pairs_onsigs", "pairs_text", "ingest_sec", "onsigs_sec",
+            "text_sec", "onsigs_plan_rehashes", "text_plan_rehashes")
+          .write.mode("overwrite").parquet(out)
+        printCapStats("minhash")
+        spark.read.parquet(out).show(false)
 
       // Sketch-family soak: t-digest + KLL quantiles per lang over one
       // aggregation pass; a Bloom filter of one language's urls probed

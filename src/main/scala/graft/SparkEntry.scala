@@ -216,6 +216,25 @@ object SparkEntry {
         read(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
         .agg(count(lit(1)).as("kept"))),
 
+    // stored-signature minhash pairs (fingerprint-at-ingest pattern):
+    // signatures computed ONCE and round-tripped through parquet, pairs
+    // derived from the STORED column only — and the text path computed on
+    // the same corpus in the same row, so the oracle pins both to the same
+    // constant (a divergence between the paths fails the gate even if one
+    // of them drifts to a different-but-stable value)
+    "q_dedup_minhash_pairs_onsigs" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val sigDir = java.nio.file.Files.createTempDirectory("graft_sigs_").toString
+      graft.ops.Dedup.minHashSignatures(docs, "doc_id", "text")
+        .write.mode("overwrite").parquet(sigDir)
+      graft.ops.Dedup.minHashNearDupPairsOnSignatures(
+          s.read.parquet(sigDir), "doc_id", "minhash_sig", threshold = 0.8)
+        .agg(count(lit(1)).as("pairs_onsigs"))
+        .crossJoin(
+          graft.ops.Dedup.minHashNearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+            .agg(count(lit(1)).as("pairs_text")))
+    }),
+
     // SimHash near-dup pairs (rows-only check)
     "q_dedup_simhash_pairs" -> ((s, dir) =>
       graft.ops.Dedup.simHashNearDupPairs(
@@ -824,6 +843,10 @@ object SparkEntry {
         "('R', 11173)) AS t(l_returnflag, approx_orderkeys)"),
     "q_dedup_minhash_count" ->
       "SELECT CAST(476 AS BIGINT) AS kept",
+    // both paths over the same corpus MUST land on the same count (pinned
+    // from this library at sf0.01, like the pins above)
+    "q_dedup_minhash_pairs_onsigs" ->
+      "SELECT CAST(25 AS BIGINT) AS pairs_onsigs, CAST(25 AS BIGINT) AS pairs_text",
     // transitive closure keeps <= the one-pass count (chains collapse to one
     // survivor); pinned from this library at sf0.01 like the pin above
     "q_dedup_minhash_transitive" ->

@@ -228,7 +228,16 @@ object Dedup {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val rawSigs = nonEmptySigs(df, idCol, textCol, numHashes, shingleSize)
     val sigs = if (cacheSignatures) rawSigs.localCheckpoint(eager = false) else rawSigs
-    val banded = cappedBands(sigs, bands, numHashes / bands, maxBucketSize)
+    pairsFromSigFrame(sigs, threshold, bands, numHashes / bands, maxBucketSize)
+  }
+
+  /** Banding + candidate generation + estimated-Jaccard verify over a
+    * normalized `(_id, _sig)` signature frame — the pipeline shared by the
+    * from-text and from-stored-signatures entry points.
+    */
+  private def pairsFromSigFrame(sigs: DataFrame, threshold: Double, bands: Int,
+      rowsPerBand: Int, maxBucketSize: Int): DataFrame = {
+    val banded = cappedBands(sigs, bands, rowsPerBand, maxBucketSize)
     val a = banded.select(col("_band"), col("_id").as("id_a"))
     val b = banded.select(col("_band"), col("_id").as("id_b"))
     val candidates = a.join(b, Seq("_band"))
@@ -241,6 +250,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         estJaccard(col("_sig_a"), col("_sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** The ingest-time fingerprint step for [[minHashNearDupPairsOnSignatures]]:
+    * `(idCol, minhash_sig array<long>)` for every row — INCLUDING
+    * shingle-less docs, whose all-Long.MaxValue sentinel signature is stored
+    * as-is (the pairs entry point excludes them, exactly like the text
+    * path). Persist this once when documents land; every later dedup run
+    * then reads ~numHashes x 8 B/row instead of re-hashing the text.
+    */
+  def minHashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      shingleSize: Int = 5): DataFrame =
+    df.select(col(idCol),
+      minhash_signature(col(textCol), numHashes, shingleSize).as("minhash_sig"))
+
+  /** [[minHashNearDupPairs]] over PRE-COMPUTED signatures (`sigCol`, as
+    * written by [[minHashSignatures]] at ingest) — the same
+    * fingerprint-at-ingest pattern as [[simHashNearDupPairsOnHashes]].
+    *
+    * Scale rationale (measured, BASELINE.md round 2): the text path
+    * re-computes signatures up to ~3x per run (banding + two candidate
+    * rejoins) unless they are localCheckpointed, and checkpointing spilled
+    * ~70 GB at 64M short docs — storage OR repeated CPU, every run. Stored
+    * signatures break the trade: each consumer re-READS a column-pruned
+    * ~(numHashes x 8)B/row parquet projection instead of re-hashing text,
+    * so no checkpoint dial exists here at all, and the shingling CPU is
+    * paid exactly once at ingest for the corpus's lifetime.
+    *
+    * `numHashes`/`bands` must match the ingest-time parameters (signatures
+    * of a different width would band on wrong slots); null signatures and
+    * the shingle-less sentinel are excluded like the text path. Identical
+    * results to [[minHashNearDupPairs]] on the same corpus by construction
+    * — both run [[pairsFromSigFrame]] on the same signature values.
+    */
+  def minHashNearDupPairsOnSignatures(
+      df: DataFrame,
+      idCol: String,
+      sigCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val sigs = df.select(col(idCol).as("_id"), col(sigCol).as("_sig"))
+      .filter(col("_sig").isNotNull)
+      .filter(element_at(col("_sig"), 1) =!= Long.MaxValue)
+    pairsFromSigFrame(sigs, threshold, bands, numHashes / bands, maxBucketSize)
   }
 
   /** Near-dup dedup: drop every document that has a more-senior (smaller id)

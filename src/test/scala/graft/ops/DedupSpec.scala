@@ -613,6 +613,36 @@ class DedupSpec extends AnyFunSuite {
       s"triple keys must not saturate at this corpus size: $s")
   }
 
+  test("minHashNearDupPairsOnSignatures: identical pairs to the text path; stored sigs never re-hash") {
+    val nearDup = mutate(baseText, 1, 7)
+    val docs = Seq(
+      (10L, baseText), (11L, nearDup), (13L, baseText),
+      (12L, "completely different content about spark aggregation plans and " +
+        "catalyst optimizer rules that shares nothing with the fox story at all " +
+        "because it talks about distributed query execution instead"),
+      (20L, ""), (21L, null: String) // sentinel + null signatures must drop
+    ).toDF("doc_id", "text")
+    def toSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val fromText = toSet(Dedup.minHashNearDupPairs(docs, "doc_id", "text",
+      threshold = 0.5, bands = 32))
+    // ingest-time fingerprints round-trip parquet storage, then pairs come
+    // from the STORED column only
+    val sigDir = java.nio.file.Files.createTempDirectory("graft_minhash_sigs_").toString
+    Dedup.minHashSignatures(docs, "doc_id", "text").write.mode("overwrite").parquet(sigDir)
+    val stored = spark.read.parquet(sigDir)
+    assert(stored.count() == 6, "ingest stores EVERY row, sentinel/null included")
+    val onSigs = Dedup.minHashNearDupPairsOnSignatures(stored, "doc_id", "minhash_sig",
+      threshold = 0.5, bands = 32)
+    assert(toSet(onSigs) == fromText,
+      s"signature path diverged from the text path: ${toSet(onSigs)} vs $fromText")
+    // the whole point: NO minhash/shingle computation anywhere in the plan —
+    // the recompute passes the text path pays (up to 3x/run) disappear
+    val plan = onSigs.queryExecution.executedPlan.toString
+    assert(!plan.contains("minhash_signature") && !plan.toLowerCase.contains("shingle"),
+      s"stored-signature plan re-hashes text:\n$plan")
+  }
+
   test("minHashDedupTransitive: a near-dup CHAIN keeps exactly its minimum id") {
     // sliding-window chain: doc i covers words [6i, 6i+60) of a 200-word
     // pool — adjacent docs share 54/66 words (Jaccard ~0.82 on shingles),
