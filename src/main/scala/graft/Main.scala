@@ -28,7 +28,8 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Main <jar> ivf-build <corpusParquet> <idCol> <vecCol> <indexPath> [k] [sampleSize] [filesPerCell]
   * spark-submit --class graft.Main <jar> ivf-append <corpusParquet> <idCol> <vecCol> <indexPath> [filesPerCell]
   * spark-submit --class graft.Main <jar> ivf-probe <indexPath> <queriesParquet> <idCol> <vecCol> <outPath> [k] [nProbe]
-  * spark-submit --class graft.Main <jar> ivf-compact <indexPath> [filesPerCell] [maxCells]
+  * spark-submit --class graft.Main <jar> ivf-remove <indexPath> <idsParquet> <idCol>
+  * spark-submit --class graft.Main <jar> ivf-compact <indexPath> [filesPerCell] [maxCells] [maxBytes]
   * spark-submit --class graft.Main <jar> ivf-compact-soak <rows> <dim> <appendBatches> <indexPath> <outPath> [k] [nProbe]
   * }}}
   *
@@ -560,12 +561,25 @@ object Main {
       // corpus scale degrades toward file listing/open overhead otherwise —
       // run after every ~10 appends, or when indexCellStats shows files >>
       // filesPerCell; maxCells bounds one run for very large indexes)...
+      // ...mark rows deleted (dedup losers, quality-filter casualties,
+      // takedowns): probes exclude them immediately via the tombstone
+      // anti-join, the next compaction reclaims the bytes...
+      case "ivf-remove" =>
+        need(args, 4, "<indexPath> <idsParquet> <idCol>")
+        val Array(_, idxPath, idsIn, idCol) = args.take(4)
+        val n = graft.ops.Similarity.removeFromIndex(
+          spark, idxPath, spark.read.parquet(idsIn), idCol)
+        println(s"[graft] ivf-remove: tombstoned $n row(s); probes exclude them " +
+          s"now, the next ivf-compact drops them physically")
+
       case "ivf-compact" =>
-        need(args, 2, "<indexPath> [filesPerCell] [maxCells]")
+        need(args, 2, "<indexPath> [filesPerCell] [maxCells] [maxBytes]")
         val idxPath = args(1)
         val fpc = if (args.length > 2) args(2).toInt else 1
         val maxCells = if (args.length > 3) args(3).toInt else Int.MaxValue
-        val done = graft.ops.Similarity.compactIndex(spark, idxPath, fpc, maxCells)
+        val maxBytes = if (args.length > 4) args(4).toLong else Long.MaxValue
+        val done = graft.ops.Similarity.compactIndex(spark, idxPath, fpc, maxCells,
+          maxBytes)
         println(s"[graft] ivf-compact: rewrote ${done.length} fragmented cell(s)" +
           (if (done.isEmpty) "" else s": ${done.sorted.take(50).mkString(",")}" +
             (if (done.length > 50) ",..." else "")))

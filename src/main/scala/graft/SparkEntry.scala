@@ -475,6 +475,52 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
 
+    // index DELETION, tombstone-probe path: exact clones of the first 5
+    // vectors are planted under ids 2^40+i and then removed — if the
+    // tombstone anti-join failed, every planted clone would outrank its
+    // original at cosine 1.0 and the hash comparison against the
+    // brute-force-over-the-ORIGINAL-corpus oracle must fail
+    "q_ann_topk_ivf_deleted" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val planted = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + lit(1L << 40)).as("vec_id"), col("embedding"))
+      val centroids = graft.ops.Similarity.trainIvfCentroids(
+        emb, "embedding", k = 16, sampleSize = 2000)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_del_").toString
+      graft.ops.Similarity.assignCells(emb.union(planted), "vec_id", "embedding",
+        centroids, idx)
+      graft.ops.Similarity.removeFromIndex(s, idx,
+        planted.select(col("vec_id").as("id")))
+      graft.ops.Similarity.ivfTopKFromIndex(s, idx, queries, "qid", "qvec",
+        k = 3, nProbe = centroids.length)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    // index DELETION applied PHYSICALLY: same planted clones, but compaction
+    // runs between the removal and the probe — tombstoned rows must be
+    // dropped from the data files (the tombstone store is gone, so only a
+    // correct physical rewrite can keep the clones out of the top-k)
+    "q_ann_topk_ivf_deleted_compacted" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val planted = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + lit(1L << 40)).as("vec_id"), col("embedding"))
+      val centroids = graft.ops.Similarity.trainIvfCentroids(
+        emb, "embedding", k = 16, sampleSize = 2000)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_delc_").toString
+      graft.ops.Similarity.assignCells(emb, "vec_id", "embedding", centroids, idx)
+      graft.ops.Similarity.appendToIndex(planted, "vec_id", "embedding", idx)
+      graft.ops.Similarity.removeFromIndex(s, idx,
+        planted.select(col("vec_id").as("id")))
+      graft.ops.Similarity.compactIndex(s, idx)
+      graft.ops.Similarity.ivfTopKFromIndex(s, idx, queries, "qid", "qvec",
+        k = 3, nProbe = centroids.length)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+
     // cluster-aware near-dup dedup: transitive closure of the minhash pairs,
     // keep the minimum id per connected component (chains A~B~C with A!~C
     // now keep exactly one doc, unlike the one-pass minHashDedup contract)
@@ -802,6 +848,14 @@ object SparkEntry {
       "WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5) SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (SELECT q.qid, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id) rank FROM embeddings e, q) t WHERE rank <= 3",
     // build + 2 appends + compaction must preserve the corpus exactly
     "q_ann_topk_ivf_compacted" ->
+      "WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5) SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (SELECT q.qid, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id) rank FROM embeddings e, q) t WHERE rank <= 3",
+    // deletion gates: planted cosine-1.0 clones are removed, so the result
+    // must equal brute force over the ORIGINAL corpus — a failed tombstone
+    // anti-join (or a compaction that kept tombstoned rows) puts the clones
+    // at the top and fails the hash
+    "q_ann_topk_ivf_deleted" ->
+      "WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5) SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (SELECT q.qid, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id) rank FROM embeddings e, q) t WHERE rank <= 3",
+    "q_ann_topk_ivf_deleted_compacted" ->
       "WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5) SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (SELECT q.qid, e.vec_id, ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id) rank FROM embeddings e, q) t WHERE rank <= 3",
     // streaming dedup keyed on (wyhash64(text), length): kept count equals
     // exact COUNT(DISTINCT text) (collision odds ~n^2/2^65 per length class),

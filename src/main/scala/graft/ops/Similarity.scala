@@ -429,13 +429,13 @@ object Similarity {
     warnCellSkew(corpus.sparkSession, indexPath, "appendToIndex")
   }
 
-  /** Driver-side file count per cell partition of a persisted index: the
-    * fragmentation dashboard [[compactIndex]] acts on. One FS listing per
-    * cell directory — cells are bounded by the centroid count (~1k), so this
-    * is tiny even when the index itself is 100 TB.
+  /** Driver-side (file count, byte size) per cell partition of a persisted
+    * index: the fragmentation dashboard [[compactIndex]] acts on. One FS
+    * listing per cell directory — cells are bounded by the centroid count
+    * (~1k), so this is tiny even when the index itself is 100 TB.
     */
-  private def cellFileCounts(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): Map[Int, Int] = {
+  private def cellFileStats(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Map[Int, (Int, Long)] = {
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Map.empty
@@ -444,88 +444,256 @@ object Similarity {
       .flatMap { s =>
         scala.util.Try(s.getPath.getName.stripPrefix("cell=").toInt).toOption
           .map { cell =>
-            cell -> fs.listStatus(s.getPath)
-              .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            val data = fs.listStatus(s.getPath)
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            cell -> (data.length, data.map(_.getLen).sum)
           }
       }.toMap
   }
 
-  /** Per-cell (rows, files) of a persisted index — the skew AND
-    * fragmentation dashboard for probe cost: a probe that hits a cell pays
-    * that cell's size in bytes and its file count in listing/open overhead.
-    * COUNT(*) grouped by the partition column resolves from parquet footer
-    * metadata (no data pages are read) and the file counts come from one
-    * driver-side listing, so this is cheap even on a 100 TB index.
+  /** Per-cell (rows, files, bytes, tombstones) of a persisted index — the
+    * skew AND fragmentation dashboard for probe cost: a probe that hits a
+    * cell pays that cell's size in bytes and its file count in listing/open
+    * overhead, and `tombstones` counts rows [[removeFromIndex]] has marked
+    * but [[compactIndex]] has not yet physically dropped (probes anti-join
+    * them out, at a per-probe cost proportional to this count). COUNT(*)
+    * grouped by the partition column resolves from parquet footer metadata
+    * (no data pages are read) and files/bytes come from one driver-side
+    * listing, so this is cheap even on a 100 TB index.
     */
   def indexCellStats(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): DataFrame = {
-    val files = spark.createDataFrame(cellFileCounts(spark, indexPath).toSeq)
-      .toDF("cell", "files")
+    val files = spark.createDataFrame(
+      cellFileStats(spark, indexPath).toSeq.map { case (c, (f, b)) => (c, f, b) })
+      .toDF("cell", "files", "bytes")
+    val ts = loadTombstones(spark, indexPath) match {
+      case Some(t) => t.groupBy(col("cell")).agg(count(lit(1)).as("tombstones"))
+      case None => spark.createDataFrame(Seq.empty[(Int, Long)])
+        .toDF("cell", "tombstones")
+    }
     spark.read.parquet(indexPath)
       .groupBy(col("cell")).agg(count(lit(1)).as("rows"))
       .join(files, Seq("cell"), "left")
+      .join(ts, Seq("cell"), "left")
+      .na.fill(0L, Seq("tombstones"))
   }
 
-  /** Rewrites FRAGMENTED cell partitions of a persisted index in place.
-    * [[appendToIndex]] adds >= 1 new file per touched cell per append and
-    * nothing else ever merges them, so a daily-ingest index accretes
-    * ~appends x filesPerCell small files per cell and probe cost degrades
-    * toward file listing/open overhead — the same small-files failure the
-    * salted build layout avoids at build time. Compaction:
-    *   - selects only cells whose parquet file count exceeds `filesPerCell`
-    *     (driver-side listing; pass `maxCells` to bound one run),
-    *   - reads ONLY those cell partitions (static partition pruning on the
-    *     literal cell list),
-    *   - rewrites each as ~`filesPerCell` files in the build's salted
-    *     layout, replacing ONLY those cell directories via dynamic partition
-    *     overwrite — untouched cells are never listed, read, or rewritten,
-    *     and the `_centroids` sidecar is untouched.
-    * Returns the compacted cell ids (empty = nothing fragmented).
+  /** Relative sidecar directory holding (cell, id) deletion tombstones
+    * written by [[removeFromIndex]]. Underscore-prefixed like `_centroids`,
+    * so index data reads ignore it.
+    */
+  private val TombstonesDir = "_tombstones"
+
+  /** The tombstone store as a (cell, id) frame, or None when nothing is
+    * tombstoned.
+    */
+  private def loadTombstones(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/$TombstonesDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Marks index rows for deletion — the lifecycle op a training-data
+    * pipeline hits constantly (dedup survivors, quality filters, takedowns).
+    * The ids are resolved to their cells with one COLUMN-PRUNED scan of the
+    * index's (id, cell) projection and appended to a `_tombstones` sidecar
+    * as (cell, id) rows; nothing in the data layout is rewritten. From this
+    * call on:
+    *   - [[ivfTopKFromIndex]] anti-joins tombstoned ids out of its probed
+    *     cells (the tombstone side is filtered to the probed cells first, so
+    *     the per-probe cost is proportional to the tombstones in those cells
+    *     — small between compactions);
+    *   - the next [[compactIndex]] physically drops the rows (and the
+    *     applied tombstones), reclaiming the bytes.
+    * Returns the number of rows tombstoned by THIS call (ids not present in
+    * the index resolve to nothing and are ignored).
     *
-    * The fragmented rows are materialized (eager localCheckpoint) before the
-    * overwrite: Spark (correctly) refuses to overwrite a path it is still
-    * reading from, and materializing first is also what makes read-then-
-    * replace atomic per run. At very large scale, bound each run with
-    * `maxCells` (most-fragmented cells first) so one batch's rows fit the
-    * cluster's block-manager storage; compaction is incremental by design.
+    * CONTRACT: tombstones are by (cell, id) against CURRENT index content.
+    * Re-adding a removed id via [[appendToIndex]] before the next compaction
+    * is unsupported — if the new vector lands in the same cell, the pending
+    * tombstone suppresses it too; compact first, then re-add. Single
+    * writer, like all index mutations.
+    */
+  def removeFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      ids: DataFrame,
+      idCol: String = "id"): Long = {
+    val index = spark.read.parquet(indexPath).select(col("id"), col("cell"))
+    val resolved = index
+      .join(ids.select(col(idCol).as("id")).distinct(), Seq("id"), "left_semi")
+      .select(col("cell"), col("id"))
+    val dir = s"$indexPath/$TombstonesDir"
+    def count(): Long = loadTombstones(spark, indexPath).map(_.count()).getOrElse(0L)
+    val before = count()
+    // one file per remove call: the store stays a handful of small files
+    // between compactions (which clear it); tombstone sets are tiny next to
+    // the index, so a single writer task is the right shape
+    resolved.repartition(1).write.mode("append").parquet(dir)
+    count() - before
+  }
+
+  /** Probe-side tombstone application: anti-join pending deletions out of a
+    * pruned index scan, touching only the probed cells' tombstones.
+    */
+  private def applyTombstones(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, pruned: DataFrame, probedCells: Array[Int]): DataFrame =
+    loadTombstones(spark, indexPath) match {
+      case Some(ts) =>
+        val relevant = ts
+          .filter(col("cell").isin(probedCells.map(c => c: Any): _*))
+          .select(col("id"))
+        pruned.join(relevant, Seq("id"), "left_anti")
+      case None => pruned
+    }
+
+  /** Crash recovery for [[compactIndex]]'s swap: restore any cell moved to
+    * the trash dir whose replacement never landed, then clear the work dirs.
+    * A no-op in the common case (both dirs absent).
+    */
+  private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val trash = new org.apache.hadoop.fs.Path(root, CompactTrashDir)
+    if (fs.exists(trash)) {
+      fs.listStatus(trash).filter(_.getPath.getName.startsWith("cell=")).foreach { s =>
+        val dest = new org.apache.hadoop.fs.Path(root, s.getPath.getName)
+        if (!fs.exists(dest)) {
+          fs.rename(s.getPath, dest)
+          System.err.println(s"[graft] compactIndex: restored ${s.getPath.getName} " +
+            s"from an interrupted prior compaction")
+        }
+      }
+      fs.delete(trash, true)
+    }
+    val tmp = new org.apache.hadoop.fs.Path(root, CompactTmpDir)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
+
+  private val CompactTmpDir = "_compact_tmp"
+  private val CompactTrashDir = "_compact_trash"
+
+  /** Rewrites cell partitions of a persisted index in place, for two
+    * reasons at once:
+    *   - FRAGMENTATION: [[appendToIndex]] adds >= 1 new file per touched
+    *     cell per append and nothing else ever merges them, so a
+    *     daily-ingest index accretes small files and probe cost degrades
+    *     toward file listing/open overhead;
+    *   - PENDING DELETIONS: [[removeFromIndex]] tombstones are applied
+    *     physically here — tombstoned rows are dropped during the rewrite
+    *     (a cell whose rows are ALL tombstoned is removed outright) and the
+    *     applied tombstones are cleared from the store, reclaiming bytes
+    *     and the probes' anti-join cost.
+    * Selection: cells with more than `filesPerCell` parquet files OR
+    * pending tombstones, most-fragmented first, bounded per run by
+    * `maxCells` AND a cumulative `maxBytes` byte budget (driver-side
+    * listing; at least one cell always makes progress). Only the selected
+    * cell partitions are read (static partition pruning on the literal cell
+    * list); each rewrites as ~`filesPerCell` files in the build's salted
+    * layout. Untouched cells are never listed, read, or rewritten, and the
+    * `_centroids` sidecar is untouched. Returns the compacted cell ids
+    * (empty = nothing fragmented or tombstoned).
+    *
+    * Scale shape: the rewrite STREAMS — rows go scan -> (salted) shuffle ->
+    * parquet writer in `_compact_tmp`, never materializing in block-manager
+    * storage (the previous localCheckpoint shape held the whole batch
+    * resident; measured: a post-compact probe on an 8M-row index read 27 s
+    * with those blocks still held vs ~2 s freed — now there are no blocks
+    * at all). A single cell larger than `maxBytes` therefore still
+    * compacts safely: `filesPerCell` salting splits its rewrite across
+    * parallel streaming tasks, and the budget only bounds one run's total
+    * rewrite I/O. Once the tmp write commits, each selected cell directory
+    * is swapped via two renames (old -> trash, tmp -> live) and the trash
+    * is dropped; an interrupted run is healed by [[recoverCompaction]] at
+    * the next call (a moved-aside cell whose replacement never landed is
+    * restored, and not-yet-cleared tombstones simply re-apply —
+    * idempotent).
+    *
+    * CONCURRENCY: single-writer, and the rename swap is NOT atomic for
+    * concurrent readers — a probe listing a cell directory mid-swap can
+    * miss rows with no error. Run compaction in a maintenance window (or
+    * behind whatever external coordination serializes index mutations);
+    * probes are safe again the moment the call returns.
     */
   def compactIndex(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
       filesPerCell: Int = 1,
-      maxCells: Int = Int.MaxValue): Seq[Int] = {
+      maxCells: Int = Int.MaxValue,
+      maxBytes: Long = Long.MaxValue): Seq[Int] = {
     require(filesPerCell >= 1, s"filesPerCell must be >= 1, got $filesPerCell")
     require(maxCells >= 1, s"maxCells must be >= 1, got $maxCells")
-    val fragmented = cellFileCounts(spark, indexPath).toSeq
-      .filter(_._2 > filesPerCell)
-      .sortBy { case (cell, files) => (-files, cell) }
-      .take(maxCells).map(_._1)
-    if (fragmented.isEmpty) return Seq.empty
-    val rows = spark.read.parquet(indexPath)
-      .filter(col("cell").isin(fragmented.map(c => c: Any): _*))
-      .localCheckpoint(eager = true)
-    try {
-      val relaid =
-        if (filesPerCell == 1) rows.repartition(fragmented.length, col("cell"))
-        // same salted fan-out as the build (assignedFrame): huge cells rewrite
-        // in parallel instead of through one straggler task
-        else rows.repartition(fragmented.length * filesPerCell, col("cell"),
-          pmod(graft.functions.wyhash64(col("id")), lit(filesPerCell)))
-      relaid.write.partitionBy("cell")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite").parquet(indexPath)
-    } finally
-      // free the checkpoint blocks NOW instead of waiting for GC-driven
-      // cleanup: one compaction batch holds its cells' rows in block-manager
-      // storage, and leaving them resident taxes everything that runs after
-      // (measured: a post-compact probe on an 8M-row index read 27 s with the
-      // blocks still held vs ~2 s once freed)
-      rows.queryExecution.optimizedPlan.foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ => ()
+    require(maxBytes >= 1, s"maxBytes must be >= 1, got $maxBytes")
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, root)
+    val tombstoneCells: Set[Int] = loadTombstones(spark, indexPath) match {
+      case Some(ts) => ts.select(col("cell")).distinct().collect()
+        .map(_.getInt(0)).toSet
+      case None => Set.empty
+    }
+    val candidates = cellFileStats(spark, indexPath).toSeq
+      .filter { case (cell, (files, _)) =>
+        files > filesPerCell || tombstoneCells.contains(cell) }
+      .sortBy { case (cell, (files, _)) => (-files, cell) }
+      .take(maxCells)
+    // cumulative byte budget, most-fragmented first; the head cell is always
+    // taken (progress guarantee — and safe: the rewrite streams, so a single
+    // over-budget cell costs I/O, not memory)
+    val selected = {
+      var budget = maxBytes
+      val picked = scala.collection.mutable.ArrayBuffer[Int]()
+      candidates.foreach { case (cell, (_, bytes)) =>
+        if (picked.isEmpty || bytes <= budget) { picked += cell; budget -= bytes }
       }
-    fragmented
+      picked.toSeq
+    }
+    if (selected.isEmpty) return Seq.empty
+    val pending = loadTombstones(spark, indexPath)
+    val rows0 = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(selected.map(c => c: Any): _*))
+    val rows = pending match {
+      case Some(ts) => rows0.join(
+        ts.filter(col("cell").isin(selected.map(c => c: Any): _*)).select(col("id")),
+        Seq("id"), "left_anti")
+      case None => rows0
+    }
+    val relaid =
+      if (filesPerCell == 1) rows.repartition(selected.length, col("cell"))
+      // same salted fan-out as the build (assignedFrame): huge cells rewrite
+      // in parallel instead of through one straggler task
+      else rows.repartition(selected.length * filesPerCell, col("cell"),
+        pmod(graft.functions.wyhash64(col("id")), lit(filesPerCell)))
+    val tmp = new org.apache.hadoop.fs.Path(root, CompactTmpDir)
+    relaid.write.partitionBy("cell").mode("overwrite").parquet(tmp.toString)
+    // swap: old cell dirs move aside first (recoverable), replacements move
+    // in, trash dropped last. A cell emptied by tombstones has no tmp dir
+    // and simply disappears from the index.
+    val trash = new org.apache.hadoop.fs.Path(root, CompactTrashDir)
+    fs.mkdirs(trash)
+    selected.foreach { cell =>
+      val live = new org.apache.hadoop.fs.Path(root, s"cell=$cell")
+      val fresh = new org.apache.hadoop.fs.Path(tmp, s"cell=$cell")
+      if (fs.exists(live)) fs.rename(live, new org.apache.hadoop.fs.Path(trash, s"cell=$cell"))
+      if (fs.exists(fresh)) fs.rename(fresh, live)
+    }
+    fs.delete(trash, true)
+    fs.delete(tmp, true)
+    // clear the APPLIED tombstones (entries in compacted cells); entries in
+    // unselected cells stay pending for a later run. The store rewrite uses
+    // the same tmp-then-swap shape.
+    pending.foreach { ts =>
+      val remaining = ts.filter(!col("cell").isin(selected.map(c => c: Any): _*))
+      val tsDir = new org.apache.hadoop.fs.Path(root, TombstonesDir)
+      if (remaining.isEmpty) fs.delete(tsDir, true)
+      else {
+        val tsTmp = new org.apache.hadoop.fs.Path(root, s"$TombstonesDir.tmp")
+        remaining.repartition(1).write.mode("overwrite").parquet(tsTmp.toString)
+        fs.delete(tsDir, true)
+        fs.rename(tsTmp, tsDir)
+      }
+    }
+    selected
   }
 
   /** Skew check shared by [[assignCells]] and [[appendToIndex]]: warn when the hottest
@@ -570,7 +738,10 @@ object Similarity {
     * ~0.4% of the index regardless of corpus size; norms were computed at
     * build time and never recomputed. Semantics match [[ivfTopK]] with the
     * same centroids exactly (same kernel, same tie-breaks); dirty query
-    * vectors probe no cells and return no rows.
+    * vectors probe no cells and return no rows. Rows tombstoned by
+    * [[removeFromIndex]] but not yet compacted away are anti-joined out —
+    * only the probed cells' tombstones join, so the cost tracks the
+    * pending-delete count in those cells, not the store size.
     */
   def ivfTopKFromIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -599,9 +770,10 @@ object Similarity {
     val probedCells: Array[Int] =
       queryCells.select(col("_cell")).distinct().collect().map(_.getInt(0))
     val index = spark.read.parquet(indexPath)
-    val pruned =
+    val prunedRaw =
       if (probedCells.isEmpty) index.filter(lit(false)) // all queries dirty
       else index.filter(col("cell").isin(probedCells.map(c => c: Any): _*))
+    val pruned = applyTombstones(spark, indexPath, prunedRaw, probedCells)
     val denom = col("_qn") * col("norm")
     val candidates = pruned
       .join(broadcast(queryCells), pruned("cell") === queryCells("_cell"))

@@ -433,6 +433,125 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("removeFromIndex: probes exclude tombstoned rows; compaction drops them physically") {
+    val dim = 8
+    val all = (0 until 300).map(i => (i.toLong, unitVec(dim, i)))
+    val corpus = all.toDF("id", "vec")
+    val centroids = Similarity.trainIvfCentroids(corpus, "vec", k = 6, sampleSize = 300)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_del_").toString
+    Similarity.assignCells(corpus, "id", "vec", centroids, idx)
+    // plant exact clones of the first 5 vectors under huge ids: without
+    // deletion they WOULD rank at the top for their queries (cosine 1)
+    val planted = (0 until 5).map(i => (5000L + i, unitVec(dim, i))).toDF("id", "vec")
+    Similarity.appendToIndex(planted, "id", "vec", idx)
+    val removed = Similarity.removeFromIndex(spark, idx,
+      (0 until 5).map(i => 5000L + i).toDF("id"))
+    assert(removed == 5L, s"expected 5 tombstoned rows, got $removed")
+    // absent ids resolve to nothing
+    assert(Similarity.removeFromIndex(spark, idx, Seq(999999L).toDF("id")) == 0L)
+    // pending tombstones are visible in the dashboard
+    val pendingTs = Similarity.indexCellStats(spark, idx)
+      .agg(org.apache.spark.sql.functions.sum($"tombstones")).collect()(0).getLong(0)
+    assert(pendingTs == 5L, s"dashboard must show pending tombstones: $pendingTs")
+    val queries = (0 until 5).map(i => (i.toLong, jitter(unitVec(dim, i), 0.02f, 650 + i)))
+      .toDF("qid", "qvec")
+    def fullprobe() = Similarity.ivfTopKFromIndex(spark, idx, queries, "qid", "qvec",
+      k = 3, nProbe = centroids.length)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(corpus, "id", "vec", queries, "qid", "qvec", 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // BEFORE compaction: the anti-join hides the tombstoned clones
+    assert(fullprobe() == brute,
+      "probe with pending tombstones must exclude the removed rows")
+    // compaction applies: physical rows AND bytes gone, tombstone store cleared
+    val bytesBefore = Similarity.indexCellStats(spark, idx)
+      .agg(org.apache.spark.sql.functions.sum($"bytes")).collect()(0).getLong(0)
+    val compacted = Similarity.compactIndex(spark, idx)
+    assert(compacted.nonEmpty, "tombstoned cells must be selected for compaction")
+    val bytesAfter = Similarity.indexCellStats(spark, idx)
+      .agg(org.apache.spark.sql.functions.sum($"bytes")).collect()(0).getLong(0)
+    assert(bytesAfter < bytesBefore,
+      s"compaction must reclaim bytes: $bytesBefore -> $bytesAfter")
+    val residentIds = spark.read.parquet(idx).select($"id")
+      .collect().map(_.getLong(0)).toSet
+    assert((5000L until 5005L).forall(!residentIds.contains(_)),
+      s"tombstoned rows still physically present: ${residentIds.filter(_ >= 5000L)}")
+    assert(residentIds.size == 300, s"survivors damaged: ${residentIds.size}")
+    assert(!new java.io.File(idx, "_tombstones").exists,
+      "applied tombstones must be cleared from the store")
+    // and the answers are unchanged after the physical rewrite
+    assert(fullprobe() == brute, "compacted index diverged from brute force")
+    // second compaction: nothing fragmented, nothing tombstoned
+    assert(Similarity.compactIndex(spark, idx).isEmpty)
+  }
+
+  test("removeFromIndex: a fully-emptied cell disappears at compaction; probes stay correct") {
+    val dim = 8
+    val corpus = (0 until 200).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
+    val centroids = Similarity.trainIvfCentroids(corpus, "vec", k = 4, sampleSize = 200)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_empty_").toString
+    Similarity.assignCells(corpus, "id", "vec", centroids, idx)
+    // remove EVERY row of cell 0
+    val cell0Ids = spark.read.parquet(idx).filter($"cell" === 0)
+      .select($"id").collect().map(_.getLong(0))
+    assert(cell0Ids.nonEmpty, "fixture: cell 0 must hold rows")
+    assert(Similarity.removeFromIndex(spark, idx, cell0Ids.toSeq.toDF("id"))
+      == cell0Ids.length.toLong)
+    val done = Similarity.compactIndex(spark, idx)
+    assert(done.contains(0), s"the emptied cell must be selected: $done")
+    assert(!new java.io.File(idx, "cell=0").exists,
+      "a cell with zero surviving rows must be removed outright")
+    // fullprobe over the remaining cells == brute force over the survivors
+    val survivors = corpus.join(cell0Ids.toSeq.toDF("id"), Seq("id"), "left_anti")
+    val queries = (0 until 5).map(i => (i.toLong, jitter(unitVec(dim, i), 0.02f, 350 + i)))
+      .toDF("qid", "qvec")
+    val full = Similarity.ivfTopKFromIndex(spark, idx, queries, "qid", "qvec",
+      k = 3, nProbe = centroids.length)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(survivors, "id", "vec", queries, "qid", "qvec", 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == brute, "probe over an index with a deleted cell diverged")
+  }
+
+  test("compactIndex maxBytes: a byte budget bounds one run; an over-budget cell still progresses") {
+    val dim = 8
+    val corpus = (0 until 200).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
+    val centroids = Similarity.trainIvfCentroids(corpus, "vec", k = 4, sampleSize = 200)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_bytes_").toString
+    Similarity.assignCells(corpus, "id", "vec", centroids, idx)
+    // fragment cell 0 HEAVILY (3 appends -> 4 files, the skewed hot cell)
+    // and cells 1, 2 lightly (1 append each -> 2 files)
+    def onCentroid(c: Int, ids: Range) =
+      ids.map(i => (i.toLong, centroids(c).map(_.toFloat).toSeq)).toDF("id", "vec")
+    Similarity.appendToIndex(onCentroid(0, 1000 until 1050), "id", "vec", idx)
+    Similarity.appendToIndex(onCentroid(0, 1050 until 1100), "id", "vec", idx)
+    Similarity.appendToIndex(onCentroid(0, 1100 until 1150), "id", "vec", idx)
+    Similarity.appendToIndex(onCentroid(1, 2000 until 2010), "id", "vec", idx)
+    Similarity.appendToIndex(onCentroid(2, 3000 until 3010), "id", "vec", idx)
+    val stats = Similarity.indexCellStats(spark, idx)
+      .collect().map(r => r.getInt(0) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(stats(0)._1 == 4 && stats(1)._1 == 2 && stats(2)._1 == 2, s"fixture: $stats")
+    // budget below even the hot cell's bytes: the head cell still compacts
+    // (progress guarantee — the rewrite streams, so this is an I/O bound,
+    // not a memory bound) but nothing else fits the run
+    val tiny = Similarity.compactIndex(spark, idx, maxBytes = 1L)
+    assert(tiny == Seq(0), s"over-budget head cell must still make progress: $tiny")
+    // next run under a budget that fits one light cell: exactly one compacts
+    val statsAfter = Similarity.indexCellStats(spark, idx)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    val oneCell = Similarity.compactIndex(spark, idx, maxBytes = statsAfter(1))
+    assert(oneCell.size == 1 && (oneCell.head == 1 || oneCell.head == 2),
+      s"budget for one light cell must compact exactly one: $oneCell")
+    // unbounded run converges the rest; total content never changed
+    Similarity.compactIndex(spark, idx)
+    assert(Similarity.compactIndex(spark, idx).isEmpty)
+    assert(spark.read.parquet(idx).count() == 200L + 150L + 10L + 10L)
+  }
+
   test("filesPerCell salts the build shuffle: big cells write in parallel, results unchanged") {
     val dim = 8
     val corpus = (0 until 300).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
