@@ -31,6 +31,7 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Main <jar> ivf-remove <indexPath> <idsParquet> <idCol>
   * spark-submit --class graft.Main <jar> ivf-compact <indexPath> [filesPerCell] [maxCells] [maxBytes]
   * spark-submit --class graft.Main <jar> ivf-compact-soak <rows> <dim> <appendBatches> <indexPath> <outPath> [k] [nProbe]
+  * spark-submit --class graft.Main <jar> ivf-delete-soak <rows> <dim> <removeEvery> <indexPath> <outPath> [k] [nProbe]
   * }}}
   *
   * No master/parallelism is hard-coded: cluster size, executor counts, AQE
@@ -645,6 +646,71 @@ object Main {
             "cells_compacted", "compact_sec",
             "max_files_per_cell_after", "avg_files_after", "probe_sec_compacted",
             "probe_rows")
+          .write.mode("overwrite").parquet(out)
+        spark.read.parquet(out).show(false)
+
+      // Deletion lifecycle soak: build the index over synthesized vectors,
+      // tombstone every `removeEvery`-th id (the dedup-survivor /
+      // quality-filter shape: deletions spread over every cell), measure the
+      // probe with PENDING tombstones (anti-join active), compact (physical
+      // drop), and probe again. Ground truth at scale: both probes must
+      // return bit-identical rows, no removed id may ever surface, and the
+      // index must shrink by ~the removed fraction in rows AND bytes.
+      case "ivf-delete-soak" =>
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        need(args, 6, "<rows> <dim> <removeEvery> <indexPath> <outPath> [k] [nProbe]")
+        val Array(_, rowsS, dimS, removeEveryS, idxPath, out) = args.take(6)
+        val (rows, dim, removeEvery) = (rowsS.toLong, dimS.toInt, removeEveryS.toLong)
+        require(removeEvery >= 2, "removeEvery must be >= 2 (keep some rows)")
+        val kCentroids = if (args.length > 6) args(6).toInt else 256
+        val nProbe = if (args.length > 7) args(7).toInt else 8
+        def secs[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime()
+          val a = f
+          (a, (System.nanoTime() - t0) / 1e9)
+        }
+        val vecs = syntheticVecs(spark, rows, dim)
+        val centroids = graft.ops.Similarity.trainIvfCentroids(vecs, "embedding", kCentroids)
+        val (_, buildSec) = secs(graft.ops.Similarity.assignCells(
+          vecs, "vec_id", "embedding", centroids, idxPath))
+        def indexBytes(): Long = graft.ops.Similarity.indexCellStats(spark, idxPath)
+          .agg(sum(col("bytes"))).collect()(0).getLong(0)
+        val bytesBefore = indexBytes()
+        val doomed = spark.range(rows).filter(pmod(col("id"), lit(removeEvery)) === 0)
+        val (removed, removeSec) = secs(graft.ops.Similarity.removeFromIndex(
+          spark, idxPath, doomed.toDF(), "id"))
+        val stride = math.max(rows / 100, 1L)
+        // query with vectors of REMOVED ids too: their exact matches must not
+        // come back
+        val queries = vecs.filter(pmod(col("vec_id"), lit(stride)) === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        def probe() = graft.ops.Similarity.ivfTopKFromIndex(
+          spark, idxPath, queries, "qid", "qvec", k = 10, nProbe)
+        def probeSummary() = probe()
+          .agg(count(lit(1)), sum(col("neighbor_id")),
+            sum(when(pmod(col("neighbor_id"), lit(removeEvery)) === 0, 1L)
+              .otherwise(0L))).collect()(0)
+        probe().count() // warm listing
+        val (tombstoned, probeTombSec) = secs(probeSummary())
+        require(tombstoned.getLong(2) == 0L,
+          s"probe surfaced ${tombstoned.getLong(2)} removed ids (tombstone path)")
+        val (compacted, compactSec) = secs(
+          graft.ops.Similarity.compactIndex(spark, idxPath))
+        probe().count() // warm fresh listing
+        val (after, probeCleanSec) = secs(probeSummary())
+        require(after == tombstoned,
+          s"physical deletion changed probe rows: $tombstoned vs $after")
+        val bytesAfter = indexBytes()
+        val rowsAfter = spark.read.parquet(idxPath).count()
+        require(rowsAfter == rows - removed,
+          s"index must shrink by the removed rows: $rowsAfter vs ${rows - removed}")
+        Seq((rows, removed, centroids.length, buildSec, removeSec,
+          probeTombSec, compacted.length, compactSec, probeCleanSec,
+          bytesBefore, bytesAfter, rowsAfter))
+          .toDF("rows", "removed", "cells", "build_sec", "remove_sec",
+            "probe_sec_tombstoned", "cells_compacted", "compact_sec",
+            "probe_sec_clean", "bytes_before", "bytes_after", "rows_after")
           .write.mode("overwrite").parquet(out)
         spark.read.parquet(out).show(false)
 

@@ -159,5 +159,15 @@ class ScaleShapeSpec extends AnyFunSuite {
       s"ivfTopKFromIndex must broadcast the query side:\n$probePlan")
     assert(!probePlan.contains("SortMergeJoin"),
       s"ivfTopKFromIndex must not shuffle the index side:\n$probePlan")
+    // and with PENDING TOMBSTONES, the deletion anti-join must broadcast the
+    // (small) tombstone side — a sort-merge anti would shuffle the pruned
+    // index scan at every probe, un-earning the partition-pruning win
+    graft.ops.Similarity.removeFromIndex(spark, idx, Seq(0L, 1L).toDF("id"))
+    val tombstoned = graft.ops.Similarity.ivfTopKFromIndex(
+      spark, idx, queries, "qid", "qvec", 3, nProbe = 2)
+    val tsPlan = tombstoned.queryExecution.executedPlan.toString
+    assert(tsPlan.contains("BroadcastHashJoin LeftAnti") ||
+      (tsPlan.contains("LeftAnti") && !tsPlan.contains("SortMergeJoin")),
+      s"tombstone application must broadcast-anti-join, never shuffle the index:\n$tsPlan")
   }
 }
