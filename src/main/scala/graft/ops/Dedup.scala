@@ -302,6 +302,31 @@ object Dedup {
     pairsFromSigFrame(sigs, threshold, bands, numHashes / bands, maxBucketSize)
   }
 
+  /** [[minHashDedup]] over STORED signatures: keeps every `df` row whose id
+    * has no more-senior (smaller-id) near-duplicate, with the pair list
+    * derived from the fingerprint table `sigs` (`sigIdCol`, `sigCol` — as
+    * written by [[minHashSignatures]] at ingest; ids must align with `df`'s
+    * `idCol` values). Same one-pass contract as [[minHashDedup]], zero text
+    * re-hashing: a threshold re-tune re-runs this against the same stored
+    * fingerprints. Rows of `df` without a fingerprint row have no pairs and
+    * always survive.
+    */
+  def minHashDedupOnSignatures(
+      df: DataFrame,
+      idCol: String,
+      sigs: DataFrame,
+      sigIdCol: String,
+      sigCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val losers = minHashNearDupPairsOnSignatures(sigs, sigIdCol, sigCol, threshold,
+      numHashes, bands, maxBucketSize)
+      .select(col("id_b").as("_loser")).distinct()
+    df.join(losers, df(idCol) === col("_loser"), "left_anti")
+  }
+
   /** Near-dup dedup: drop every document that has a more-senior (smaller id)
     * near-duplicate. One LSH pass (near-transitive clusters collapse to their
     * minimum over repeated application; one pass is the standard

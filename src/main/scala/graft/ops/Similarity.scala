@@ -539,7 +539,8 @@ object Similarity {
     */
   private def applyTombstones(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, pruned: DataFrame, probedCells: Array[Int]): DataFrame =
-    loadTombstones(spark, indexPath) match {
+    if (probedCells.isEmpty) pruned // already filter(false); nothing to mask
+    else loadTombstones(spark, indexPath) match {
       case Some(ts) =>
         val relevant = ts
           .filter(col("cell").isin(probedCells.map(c => c: Any): _*))
@@ -680,10 +681,19 @@ object Similarity {
     fs.delete(trash, true)
     fs.delete(tmp, true)
     // clear the APPLIED tombstones (entries in compacted cells); entries in
-    // unselected cells stay pending for a later run. The store rewrite uses
-    // the same tmp-then-swap shape.
+    // unselected cells stay pending for a later run. Entries whose cell no
+    // longer exists at all are dropped too — a crash between a prior run's
+    // swap and ITS store rewrite can orphan them (harmless to probes, but
+    // they would otherwise sit in the store forever, since a vanished cell
+    // can never be selected again). The store rewrite uses the same
+    // tmp-then-swap shape.
     pending.foreach { ts =>
-      val remaining = ts.filter(!col("cell").isin(selected.map(c => c: Any): _*))
+      // only cells that still exist AND were not compacted this run can
+      // legitimately hold pending entries
+      val keepCells = cellFileStats(spark, indexPath).keySet -- selected
+      val remaining =
+        if (keepCells.isEmpty) ts.filter(lit(false))
+        else ts.filter(col("cell").isin(keepCells.toSeq.map(c => c: Any): _*))
       val tsDir = new org.apache.hadoop.fs.Path(root, TombstonesDir)
       if (remaining.isEmpty) fs.delete(tsDir, true)
       else {

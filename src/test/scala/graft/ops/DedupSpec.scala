@@ -641,6 +641,21 @@ class DedupSpec extends AnyFunSuite {
     val plan = onSigs.queryExecution.executedPlan.toString
     assert(!plan.contains("minhash_signature") && !plan.toLowerCase.contains("shingle"),
       s"stored-signature plan re-hashes text:\n$plan")
+    // the dedup wrapper keeps the same survivors as the text path, and a
+    // corpus row WITHOUT a fingerprint row always survives
+    val keptText = Dedup.minHashDedup(docs, "doc_id", "text", threshold = 0.5,
+      bands = 32).select($"doc_id").collect().map(_.getLong(0)).toSet
+    val keptSigs = Dedup.minHashDedupOnSignatures(
+      docs, "doc_id", stored, "doc_id", "minhash_sig", threshold = 0.5, bands = 32)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptSigs == keptText, s"dedup wrapper diverged: $keptSigs vs $keptText")
+    val extra = Seq((99L, "row with no fingerprint")).toDF("doc_id", "text")
+    val keptExtra = Dedup.minHashDedupOnSignatures(
+      docs.union(extra), "doc_id", stored, "doc_id", "minhash_sig",
+      threshold = 0.5, bands = 32)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptExtra == keptText + 99L,
+      s"fingerprint-less rows must survive: $keptExtra")
   }
 
   test("minHashDedupTransitive: a near-dup CHAIN keeps exactly its minimum id") {

@@ -552,6 +552,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() == 200L + 150L + 10L + 10L)
   }
 
+  test("compactIndex crash recovery: a moved-aside cell whose replacement never landed is restored") {
+    val dim = 8
+    val corpus = (0 until 200).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
+    val centroids = Similarity.trainIvfCentroids(corpus, "vec", k = 4, sampleSize = 200)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_crash_").toString
+    Similarity.assignCells(corpus, "id", "vec", centroids, idx)
+    val total = spark.read.parquet(idx).count()
+    // simulate a crash mid-swap: cell 0 was renamed into the trash dir but
+    // its replacement never arrived (interrupted between the two renames)
+    val cell0 = new java.io.File(idx, "cell=0")
+    assert(cell0.isDirectory, "fixture: cell 0 must exist")
+    val trash = new java.io.File(idx, "_compact_trash")
+    assert(trash.mkdir())
+    assert(cell0.renameTo(new java.io.File(trash, "cell=0")))
+    // leftover tmp from the interrupted run must be cleared too
+    val tmp = new java.io.File(idx, "_compact_tmp")
+    assert(tmp.mkdir())
+    java.nio.file.Files.writeString(
+      new java.io.File(tmp, "garbage.bin").toPath, "leftover")
+    assert(!cell0.isDirectory, "fixture: cell 0 moved aside")
+    // the next compaction heals first: cell 0 restored, work dirs cleared,
+    // content intact
+    Similarity.compactIndex(spark, idx)
+    assert(cell0.isDirectory, "interrupted swap must be rolled back")
+    assert(!trash.exists && !tmp.exists, "work dirs must be cleared")
+    assert(spark.read.parquet(idx).count() == total, "rows lost in recovery")
+  }
+
+  test("removeFromIndex contract: compact-then-re-add works (tombstone does not outlive compaction)") {
+    val dim = 8
+    val corpus = (0 until 100).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
+    val centroids = Similarity.trainIvfCentroids(corpus, "vec", k = 2, sampleSize = 100)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_readd_").toString
+    Similarity.assignCells(corpus, "id", "vec", centroids, idx)
+    val vec7 = corpus.filter($"id" === 7L)
+    Similarity.removeFromIndex(spark, idx, Seq(7L).toDF("id"))
+    Similarity.compactIndex(spark, idx)
+    // documented lifecycle: compaction cleared the tombstone, so the id can
+    // come back and is served again
+    Similarity.appendToIndex(vec7, "id", "vec", idx)
+    val queries = vec7.select($"id".as("qid"), $"vec".as("qvec"))
+    val got = Similarity.ivfTopKFromIndex(spark, idx, queries, "qid", "qvec",
+      k = 1, nProbe = centroids.length)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(7L) == 7L, s"re-added id must be served after compaction: $got")
+  }
+
   test("filesPerCell salts the build shuffle: big cells write in parallel, results unchanged") {
     val dim = 8
     val corpus = (0 until 300).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
