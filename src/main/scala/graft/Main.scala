@@ -29,6 +29,7 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Main <jar> ivf-append <corpusParquet> <idCol> <vecCol> <indexPath> [filesPerCell]
   * spark-submit --class graft.Main <jar> ivf-probe <indexPath> <queriesParquet> <idCol> <vecCol> <outPath> [k] [nProbe]
   * spark-submit --class graft.Main <jar> ivf-remove <indexPath> <idsParquet> <idCol>
+  * spark-submit --class graft.Main <jar> ivf-remove-vec <indexPath> <rowsParquet> <idCol> <vecCol>
   * spark-submit --class graft.Main <jar> ivf-compact <indexPath> [filesPerCell] [maxCells] [maxBytes]
   * spark-submit --class graft.Main <jar> ivf-compact-soak <rows> <dim> <appendBatches> <indexPath> <outPath> [k] [nProbe]
   * spark-submit --class graft.Main <jar> ivf-delete-soak <rows> <dim> <removeEvery> <indexPath> <outPath> [k] [nProbe]
@@ -572,6 +573,17 @@ object Main {
           spark, idxPath, spark.read.parquet(idsIn), idCol)
         println(s"[graft] ivf-remove: tombstoned $n row(s); probes exclude them " +
           s"now, the next ivf-compact drops them physically")
+
+      // ...same, but resolving cells from the vectors via the sidecar
+      // centroids — zero index I/O, for frequent small delete batches whose
+      // vectors the caller still holds...
+      case "ivf-remove-vec" =>
+        need(args, 5, "<indexPath> <rowsParquet> <idCol> <vecCol>")
+        val Array(_, idxPath, rowsIn, idCol, vecCol) = args.take(5)
+        val n = graft.ops.Similarity.removeFromIndexByVector(
+          spark, idxPath, spark.read.parquet(rowsIn), idCol, vecCol)
+        println(s"[graft] ivf-remove-vec: tombstoned $n row(s) with zero index " +
+          s"I/O; probes exclude them now, the next ivf-compact drops them physically")
 
       case "ivf-compact" =>
         need(args, 2, "<indexPath> [filesPerCell] [maxCells] [maxBytes]")

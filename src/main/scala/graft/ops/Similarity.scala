@@ -524,6 +524,49 @@ object Similarity {
     val resolved = index
       .join(ids.select(col(idCol).as("id")).distinct(), Seq("id"), "left_semi")
       .select(col("cell"), col("id"))
+    appendTombstones(spark, indexPath, resolved)
+  }
+
+  /** [[removeFromIndex]] with ZERO index I/O, for the common case where the
+    * caller still holds the vectors being deleted (dedup losers, rows a
+    * quality filter just scored): the cell is re-derived from the index's
+    * own `_centroids` sidecar with the same kernel the build used, so
+    * resolution reads a few KB of sidecar instead of scanning the index's
+    * (id, cell) projection — the difference between O(delete batch) and
+    * O(index) per call, which matters when deletes are frequent and the
+    * index is 100 TB.
+    *
+    * CONTRACT: `vecCol` must hold the vector AS INDEXED for that id — a
+    * different vector can resolve to a different cell, and a tombstone in
+    * the wrong cell masks nothing (the stored row lives elsewhere). Dirty
+    * vectors (no cell) resolve to nothing, exactly like ids absent from the
+    * index in [[removeFromIndex]]. Unlike the id-based variant, membership
+    * is NOT checked (that is the scan being avoided): an id that was never
+    * indexed yields an inert tombstone — it masks nothing, costs one
+    * otherwise-unneeded rewrite of its cell at the next compaction, and is
+    * cleared there. When in doubt, use the id-based variant.
+    */
+  def removeFromIndexByVector(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      df: DataFrame,
+      idCol: String = "id",
+      vecCol: String = "vec"): Long = {
+    val centroids = loadCentroids(spark, indexPath)
+    val resolved = df.select(
+        get(graft.functions.nearest_centroids(col(vecCol), centroids, 1), lit(0))
+          .as("cell"),
+        col(idCol).as("id"))
+      .filter(col("cell").isNotNull)
+      .distinct()
+    appendTombstones(spark, indexPath, resolved)
+  }
+
+  /** Appends resolved (cell, id) tombstones; returns how many rows this
+    * call added.
+    */
+  private def appendTombstones(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, resolved: DataFrame): Long = {
     val dir = s"$indexPath/$TombstonesDir"
     def count(): Long = loadTombstones(spark, indexPath).map(_.count()).getOrElse(0L)
     val before = count()

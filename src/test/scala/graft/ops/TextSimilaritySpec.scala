@@ -552,6 +552,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() == 200L + 150L + 10L + 10L)
   }
 
+  test("removeFromIndexByVector: zero index I/O (poison proof); same end state as id-based removal") {
+    val dim = 8
+    val all = (0 until 200).map(i => (i.toLong, unitVec(dim, i)))
+    val corpus = all.toDF("id", "vec")
+    val centroids = Similarity.trainIvfCentroids(corpus, "vec", k = 4, sampleSize = 200)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_delvec_").toString
+    Similarity.assignCells(corpus, "id", "vec", centroids, idx)
+    // poison EVERY data file: vector-based resolution must read only the
+    // _centroids sidecar, so the call still succeeds — the id-based variant
+    // would fail here (it scans the index), which also keeps this poison
+    // non-vacuous
+    val root = new java.io.File(idx)
+    val poisoned = root.listFiles().filter(_.getName.startsWith("cell="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    val saved = poisoned.map(f => f -> java.nio.file.Files.readAllBytes(f.toPath)).toMap
+    poisoned.foreach(f => java.nio.file.Files.write(f.toPath, "poison".getBytes))
+    val doomed = all.take(5).toDF("id", "vec")
+    val n = Similarity.removeFromIndexByVector(spark, idx, doomed, "id", "vec")
+    assert(n == 5L, s"expected 5 tombstones resolved from the sidecar alone, got $n")
+    intercept[Exception] { // non-vacuous: an index scan DOES fail right now
+      Similarity.removeFromIndex(spark, idx, Seq(7L).toDF("id"))
+    }
+    // restore the data; the tombstones must now behave exactly like id-based
+    // ones: probes exclude, compaction applies
+    saved.foreach { case (f, bytes) => java.nio.file.Files.write(f.toPath, bytes) }
+    val queries = (0 until 5).map(i => (i.toLong, jitter(unitVec(dim, i), 0.02f, 450 + i)))
+      .toDF("qid", "qvec")
+    def fullprobe() = Similarity.ivfTopKFromIndex(spark, idx, queries, "qid", "qvec",
+      k = 3, nProbe = centroids.length)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(
+      all.drop(5).toDF("id", "vec"), "id", "vec", queries, "qid", "qvec", 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fullprobe() == brute, "vector-resolved tombstones must mask the removed rows")
+    Similarity.compactIndex(spark, idx)
+    val resident = spark.read.parquet(idx).select($"id").collect().map(_.getLong(0)).toSet
+    assert((0L until 5L).forall(!resident.contains(_)), s"rows not dropped: $resident")
+    assert(fullprobe() == brute, "post-compaction probe diverged")
+  }
+
   test("compactIndex crash recovery: a moved-aside cell whose replacement never landed is restored") {
     val dim = 8
     val corpus = (0 until 200).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
