@@ -109,6 +109,20 @@ object GraftMetrics {
 
   private val elided = new ConcurrentHashMap[String, AtomicLong]()
 
+  /** One shared daemon worker for direct measurements: runs the small count
+    * job off the listener bus (never blocking it behind a Spark job) while
+    * bounding thread creation — a pipeline with many missed metrics queues
+    * its measurements instead of spawning a thread per miss.
+    */
+  private lazy val measurePool = {
+    val e = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-cap-measure")
+      t.setDaemon(true)
+      t
+    })
+    e
+  }
+
   /** Direct-measurement thunks for capped plans whose in-plan metric never
     * arrives (keyed by the full observe name). Bounded: a plan that is built
     * but never executed would otherwise pin its logical plan here forever.
@@ -199,7 +213,7 @@ object GraftMetrics {
                 // once, even if several executions miss the same metric
                 val thunk = pendingMeasure.remove(name)
                 if (thunk != null) {
-                  val t = new Thread(() => {
+                  measurePool.execute(() => {
                     try recordStats(op, counter.toLong, thunk(),
                       " (measured directly: the in-plan metric was not delivered)")
                     catch {
@@ -213,9 +227,7 @@ object GraftMetrics {
                           s"the dropped-row share of this run is UNKNOWN; " +
                           s"inspect bucket counts directly")
                     }
-                  }, s"graft-cap-measure-$op-$counter")
-                  t.setDaemon(true)
-                  t.start()
+                  })
                 } else if (!hasStats(op, counter.toLong)) {
                   // no thunk (evicted) and never recorded: the last-resort
                   // UNKNOWN trace — a capped run must always leave one

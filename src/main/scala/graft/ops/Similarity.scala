@@ -612,6 +612,18 @@ object Similarity {
     }
     val tmp = new org.apache.hadoop.fs.Path(root, CompactTmpDir)
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    // tombstone-store rewrite interrupted between its delete and rename: the
+    // remaining PENDING entries live only in the tmp dir — losing them would
+    // silently keep tombstoned rows forever, so finish the swap here
+    val tsDir = new org.apache.hadoop.fs.Path(root, TombstonesDir)
+    val tsTmp = new org.apache.hadoop.fs.Path(root, s"$TombstonesDir.tmp")
+    if (fs.exists(tsTmp)) {
+      if (!fs.exists(tsDir)) {
+        fs.rename(tsTmp, tsDir)
+        System.err.println("[graft] compactIndex: completed an interrupted " +
+          "tombstone-store rewrite (pending deletions preserved)")
+      } else fs.delete(tsTmp, true)
+    }
   }
 
   private val CompactTmpDir = "_compact_tmp"

@@ -622,6 +622,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() == total, "rows lost in recovery")
   }
 
+  test("compactIndex crash recovery: an interrupted tombstone-store rewrite loses no pending deletes") {
+    val dim = 8
+    val corpus = (0 until 100).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
+    val centroids = Similarity.trainIvfCentroids(corpus, "vec", k = 2, sampleSize = 100)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_tscrash_").toString
+    Similarity.assignCells(corpus, "id", "vec", centroids, idx)
+    Similarity.removeFromIndex(spark, idx, Seq(3L, 4L).toDF("id"))
+    // simulate the crash window between the store rewrite's delete and
+    // rename: the pending entries live ONLY in _tombstones.tmp
+    val live = new java.io.File(idx, "_tombstones")
+    val tmp = new java.io.File(idx, "_tombstones.tmp")
+    assert(live.renameTo(tmp), "fixture: move the store aside")
+    // the next compaction heals first (rename completed), then applies
+    Similarity.compactIndex(spark, idx)
+    val resident = spark.read.parquet(idx).select($"id").collect().map(_.getLong(0)).toSet
+    assert(!resident.contains(3L) && !resident.contains(4L),
+      s"pending deletes lost by the interrupted store rewrite: $resident")
+    assert(!live.exists && !tmp.exists, "store must be fully cleared after applying")
+  }
+
   test("removeFromIndex contract: compact-then-re-add works (tombstone does not outlive compaction)") {
     val dim = 8
     val corpus = (0 until 100).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
