@@ -71,10 +71,13 @@ object Main {
   /** One-line bucket-cap drop-share summary for the dedup soak commands —
     * operators of the shipped CLI must see recall loss in the command
     * output, not only in stderr scrollback. The metric lands via the async
-    * QueryExecutionListener bus, so poll briefly. Returned (not just
-    * printed) for the CLI smoke assertion in sbt test.
+    * QueryExecutionListener bus — or, on the transitive/cluster paths, via
+    * a direct measurement JOB the listener launches (it starts early, at
+    * lazy-checkpoint creation, but can still be in flight when the command
+    * finishes) — so poll generously; the wait ends the moment stats land.
+    * Returned (not just printed) for the CLI smoke assertion in sbt test.
     */
-  private[graft] def capStatsSummary(op: String, timeoutMs: Long = 10000): String = {
+  private[graft] def capStatsSummary(op: String, timeoutMs: Long = 60000): String = {
     val end = System.currentTimeMillis + timeoutMs
     var s = graft.ops.GraftMetrics.lastBucketCapStats(op)
     while (s.isEmpty && graft.ops.GraftMetrics.elidedRuns(op) == 0 &&
