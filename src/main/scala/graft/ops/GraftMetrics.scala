@@ -114,14 +114,12 @@ object GraftMetrics {
     * bounding thread creation — a pipeline with many missed metrics queues
     * its measurements instead of spawning a thread per miss.
     */
-  private lazy val measurePool = {
-    val e = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+  private lazy val measurePool =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
       val t = new Thread(r, "graft-cap-measure")
       t.setDaemon(true)
       t
     })
-    e
-  }
 
   /** Direct-measurement thunks for capped plans whose in-plan metric never
     * arrives (keyed by the full observe name). Bounded: a plan that is built
