@@ -817,6 +817,12 @@ object Similarity {
       k: Int,
       nProbe: Int = 4): DataFrame = {
     val centroids = loadCentroids(spark, indexPath)
+    // a degenerate index with a sidecar but zero data cells (everything
+    // deleted and compacted away) would otherwise die in parquet schema
+    // inference with an unrelated-looking error
+    require(cellFileStats(spark, indexPath).nonEmpty,
+      s"IVF index at $indexPath has no data cells (every row deleted, or " +
+        s"never built) — append or rebuild before probing")
     val probe = math.min(nProbe, centroids.length)
     // materialized ONCE (small by contract — it broadcasts into the join):
     // the frame is read twice (probed-cell collect + the join), and a
