@@ -661,6 +661,68 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(7L) == 7L, s"re-added id must be served after compaction: $got")
   }
 
+  test("index lifecycle model check: random append/remove/compact sequences match brute force") {
+    // model-based randomized check: drive the persisted index through a
+    // random op sequence while tracking the expected surviving rows in
+    // memory; after EVERY step, a fullprobe must equal brute force over the
+    // model. Catches interaction bugs directed tests miss (remove-then-
+    // append cells, repeated removes, budgeted compaction interleavings).
+    // Deterministic seed: failures reproduce.
+    val dim = 8
+    val rnd = new scala.util.Random(4242)
+    val initial = (0 until 120).map(i => (i.toLong, unitVec(dim, i)))
+    val centroids = Similarity.trainIvfCentroids(initial.toDF("id", "vec"), "vec",
+      k = 4, sampleSize = 200)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_model_").toString
+    Similarity.assignCells(initial.toDF("id", "vec"), "id", "vec", centroids, idx)
+    var model: Map[Long, Seq[Float]] = initial.toMap
+    var nextId = 1000L
+    val queries = (0 until 4).map(i => (i.toLong, jitter(unitVec(dim, 500 + i), 0.02f, i)))
+      .toDF("qid", "qvec")
+    def check(step: String): Unit = {
+      val full = Similarity.ivfTopKFromIndex(spark, idx, queries, "qid", "qvec",
+        k = 3, nProbe = centroids.length)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val brute = Similarity.bruteForceTopK(
+        model.toSeq.map { case (i, v) => (i, v) }.toDF("id", "vec"), "id", "vec",
+        queries, "qid", "qvec", 3)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(full == brute, s"model divergence after $step")
+    }
+    for (step <- 0 until 12) {
+      rnd.nextInt(3) match {
+        case 0 => // append a fresh batch
+          val batch = (0 until 10).map(j => (nextId + j, unitVec(dim, rnd.nextInt(10000))))
+          nextId += 10
+          Similarity.appendToIndex(batch.toDF("id", "vec"), "id", "vec", idx)
+          model ++= batch
+          check(s"$step:append")
+        case 1 => // remove a random live subset (sometimes by vector)
+          val doomed = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(8))
+          if (rnd.nextBoolean())
+            Similarity.removeFromIndex(spark, idx, doomed.toDF("id"))
+          else
+            Similarity.removeFromIndexByVector(spark, idx,
+              doomed.map(i => (i, model(i))).toDF("id", "vec"), "id", "vec")
+          model --= doomed
+          check(s"$step:remove")
+        case 2 => // compact, sometimes byte-budgeted
+          val budget = if (rnd.nextBoolean()) Long.MaxValue else 1L + rnd.nextInt(20000)
+          Similarity.compactIndex(spark, idx, maxBytes = budget)
+          check(s"$step:compact(budget=$budget)")
+      }
+    }
+    // drain: unbounded compactions must converge with the model intact
+    while (Similarity.compactIndex(spark, idx).nonEmpty) ()
+    check("drain")
+    val resident = spark.read.parquet(idx).select($"id").collect().map(_.getLong(0)).toSet
+    assert(resident == model.keySet,
+      s"physical rows diverge from the model: extra=${resident -- model.keySet} " +
+        s"missing=${model.keySet -- resident}")
+  }
+
   test("filesPerCell salts the build shuffle: big cells write in parallel, results unchanged") {
     val dim = 8
     val corpus = (0 until 300).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
