@@ -377,6 +377,20 @@ object SparkEntry {
           countDistinct(col("split")).as("n_splits"),
           countDistinct(col("doc_id")).as("n_docs"))),
 
+    // deterministic shard + intra-shard shuffle (training export): the
+    // oracle checks completeness (every doc in exactly one of the 8 shards,
+    // all shards used) and that the order column is collision-free; the
+    // order's determinism across partitionings is sbt-asserted
+    "q_sampling_shards" -> ((s, dir) =>
+      graft.ops.Sampling.shuffleIntoShards(
+        read(s, dir, "documents"), col("doc_id"), 8)
+        .agg(
+          count(lit(1)).as("total_rows"),
+          countDistinct(col("shard")).as("n_shards"),
+          min(col("shard")).cast("long").as("min_shard"),
+          max(col("shard")).cast("long").as("max_shard"),
+          countDistinct(col("shuffle_order")).as("n_positions"))),
+
     // resumable checkpointed aggregation: per-file sketch checkpoint then
     // merge roll-up; exact for these groups (<=128 distinct per group)
     "q_checkpointed_agg" -> ((s, dir) => {
@@ -781,6 +795,12 @@ object SparkEntry {
         "SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"),
     "q_sampling_split" ->
       "SELECT COUNT(*) AS total_rows, CAST(3 AS BIGINT) AS n_splits, COUNT(DISTINCT doc_id) AS n_docs FROM documents",
+    // all 8 shards used (500 docs: an empty shard has probability ~8*(7/8)^500),
+    // and the order hash is collision-free on this corpus (deterministic fact)
+    "q_sampling_shards" ->
+      ("SELECT COUNT(*) AS total_rows, CAST(8 AS BIGINT) AS n_shards, " +
+        "CAST(0 AS BIGINT) AS min_shard, CAST(7 AS BIGINT) AS max_shard, " +
+        "COUNT(*) AS n_positions FROM documents"),
     // same quality arithmetic as q_text_quality's twin, then exact dedup on
     // text and completeness of the split over the survivors
     "q_pipeline_e2e" ->

@@ -38,6 +38,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(joined == 0L)
   }
 
+  test("shuffleIntoShards: complete, balanced, and the per-shard ORDER is a pure function of keys") {
+    val df = (0 until 20000).map(i => ("doc" + i, i)).toDF("key", "v")
+    val shards = 8
+    def perShardOrder(in: org.apache.spark.sql.DataFrame): Map[Int, Seq[String]] =
+      Sampling.shuffleIntoShards(in, $"key", shards)
+        .select($"shard", $"shuffle_order", $"key")
+        .collect()
+        .groupBy(_.getInt(0))
+        .view.mapValues(_.sortBy(_.getLong(1)).map(_.getString(2)).toSeq).toMap
+    val a = perShardOrder(df)
+    // complete + disjoint: every row in exactly one shard, all shards used
+    assert(a.keySet == (0 until shards).toSet, s"shards used: ${a.keySet}")
+    assert(a.values.map(_.size).sum == 20000)
+    // balanced within ~5 sigma of uniform
+    a.values.foreach(s => assert(math.abs(s.size - 2500) < 300, s"skewed: ${s.size}"))
+    // the ORDER (not just membership) survives an adversarial repartitioning
+    val b = perShardOrder(df.repartition(13).sortWithinPartitions($"v"))
+    assert(a == b, "per-shard order must be a pure function of the keys")
+    // the in-shard order is decorrelated from the key's own order: doc0..doc9
+    // must not appear in input order inside their shards
+    val positions = a.values.flatten.zipWithIndex.toMap
+    val firstTen = (0 until 10).map(i => positions("doc" + i))
+    assert(firstTen != firstTen.sorted, s"order looks like input order: $firstTen")
+    // physically, rows within each output partition are contiguous per shard
+    // and sorted by shuffle_order (what a partitionBy export writes out)
+    val plan = Sampling.shuffleIntoShards(df, $"key", shards)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Sort") && !plan.contains("rangepartitioning"),
+      s"must sort within partitions, never a global range exchange:\n$plan")
+  }
+
   test("SQL relativeSD overload maps to a precision like approx_count_distinct") {
     graft.functions.registerAll(spark)
     (0 until 60000).map(i => i.toLong % 30000).toDF("v").createOrReplaceTempView("sd_test")
