@@ -241,6 +241,25 @@ object SparkEntry {
         read(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .agg(count(lit(1)).as("pairs"))),
 
+    // one-call simhash dedup wrapper (rows-only pin, like the pairs gate)
+    "q_dedup_simhash_count" -> ((s, dir) =>
+      graft.ops.Dedup.simHashDedup(
+        read(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .agg(count(lit(1)).as("kept"))),
+
+    // one-call embedding dedup with planted exact clones under ids 2^40+i:
+    // every clone loses to its (smaller-id) original, so the kept count is
+    // EXACTLY the original corpus size — an independent SQL oracle, and a
+    // silent return-everything regression cannot pass
+    "q_dedup_embedding_count" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + lit(1L << 40)).as("vec_id"), col("embedding"))
+      graft.ops.Dedup.embeddingDedup(
+        emb.union(planted), "vec_id", "embedding", dim = 64, threshold = 0.9)
+        .agg(count(lit(1)).as("kept"))
+    }),
+
     // exact word-5-gram Jaccard between the first docs — DuckDB twin builds
     // the same shingle sets from raw strings (hashed vs raw sets have equal
     // sizes modulo 2^-64 collisions)
@@ -927,10 +946,18 @@ object SparkEntry {
       "SELECT CAST(476 AS BIGINT) AS kept",
     "q_dedup_simhash_pairs" ->
       "SELECT CAST(20 AS BIGINT) AS pairs",
+    // the 20 pinned pairs dominate 19 distinct losers
+    "q_dedup_simhash_count" ->
+      "SELECT CAST(481 AS BIGINT) AS kept",
     // the 5 planted exact copies (and nothing else: random 64-d vectors
     // essentially never reach cosine 0.9)
     "q_dedup_embedding_pairs" ->
       "SELECT CAST(5 AS BIGINT) AS pairs",
+    // every planted clone loses to its smaller-id original, nothing else
+    // pairs at 0.9 — the kept count is EXACTLY the original corpus size
+    // (independent SQL oracle, not a pin)
+    "q_dedup_embedding_count" ->
+      "SELECT COUNT(*) AS kept FROM embeddings",
     "q_text_fingerprint_checksum" ->
       ("SELECT CAST(-473146569777551628 AS BIGINT) AS fp_xor, " +
         "CAST(500 AS BIGINT) AS fp_distinct, " +

@@ -320,10 +320,17 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 128,
       bands: Int = 16,
-      maxBucketSize: Int = 10000): DataFrame = {
-    val losers = minHashNearDupPairsOnSignatures(sigs, sigIdCol, sigCol, threshold,
-      numHashes, bands, maxBucketSize)
-      .select(col("id_b").as("_loser")).distinct()
+      maxBucketSize: Int = 10000): DataFrame =
+    dropLosers(df, idCol, minHashNearDupPairsOnSignatures(sigs, sigIdCol, sigCol,
+      threshold, numHashes, bands, maxBucketSize))
+
+  /** One-pass loser drop shared by every near-dup dedup wrapper: a doc
+    * survives unless some pair dominates it (its id is the larger side).
+    * The loser list is small next to the corpus, so AQE broadcasts the
+    * anti-join build side.
+    */
+  private def dropLosers(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = pairs.select(col("id_b").as("_loser")).distinct()
     df.join(losers, df(idCol) === col("_loser"), "left_anti")
   }
 
@@ -340,12 +347,42 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 16,
       shingleSize: Int = 5,
-      cacheSignatures: Boolean = true): DataFrame = {
-    val losers = minHashNearDupPairs(df, idCol, textCol, threshold, numHashes, bands,
-      shingleSize, cacheSignatures = cacheSignatures)
-      .select(col("id_b").as("_loser")).distinct()
-    df.join(losers, df(idCol) === col("_loser"), "left_anti")
-  }
+      cacheSignatures: Boolean = true): DataFrame =
+    dropLosers(df, idCol, minHashNearDupPairs(df, idCol, textCol, threshold,
+      numHashes, bands, shingleSize, cacheSignatures = cacheSignatures))
+
+  /** One-pass simhash dedup: drop every document with a more-senior
+    * (smaller-id) near-duplicate within `maxHamming` bits — the one-call
+    * wrapper over [[simHashNearDupPairs]], same contract as
+    * [[minHashDedup]] (chains keep every non-dominated doc; route through
+    * [[nearDupClusters]] for transitive collapse).
+    */
+  def simHashDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame =
+    dropLosers(df, idCol,
+      simHashNearDupPairs(df, idCol, textCol, maxHamming, maxBucketSize))
+
+  /** One-pass embedding-cosine dedup: drop every vector with a more-senior
+    * (smaller-id) near-duplicate at cosine >= threshold — the one-call
+    * wrapper over [[embeddingNearDupPairs]], same contract as
+    * [[minHashDedup]].
+    */
+  def embeddingDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      planes: Int = 16,
+      tables: Int = 6,
+      maxBucketSize: Int = 10000,
+      cacheVectors: Boolean = true): DataFrame =
+    dropLosers(df, idCol, embeddingNearDupPairs(df, idCol, vecCol, dim, threshold,
+      planes, tables, maxBucketSize, cacheVectors))
 
   /** Cluster-aware near-dup dedup: keeps exactly ONE document (the minimum
     * id) per TRANSITIVE near-duplicate cluster. [[minHashDedup]]'s one-pass

@@ -150,6 +150,33 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L), s"false pair: $pairs")
   }
 
+  test("simHashDedup / embeddingDedup wrappers: losers drop, seniors and isolated rows survive") {
+    val docs = Seq(
+      (1L, baseText),
+      (2L, mutate(baseText, 1, 3)), // near-dup of 1 -> loser
+      (3L, "total different subject matter entirely unrelated words describing " +
+        "machine learning feature engineering pipelines with embeddings and tokens " +
+        "plus quality filtering heuristics for web corpora at massive scale")
+    ).toDF("doc_id", "text")
+    val keptSim = Dedup.simHashDedup(docs, "doc_id", "text", maxHamming = 3)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptSim == Set(1L, 3L), s"simHashDedup kept $keptSim")
+    val dim = 8
+    def unit(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(dim)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val vecs = ((0 until 30).map(i => (i.toLong, unit(i))) ++
+      (0 until 3).map(i => (100L + i, unit(i)))) // exact clones -> losers
+      .toDF("vec_id", "embedding")
+    val keptEmb = Dedup.embeddingDedup(vecs, "vec_id", "embedding", dim,
+      threshold = 0.99, planes = 6, tables = 8)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptEmb == (0L until 30L).toSet, s"embeddingDedup kept $keptEmb")
+  }
+
   test("nearDupClusters: long transitive chains collapse to the minimum id") {
     // 11-node chain 1-2-...-11 needs ~log rounds thanks to pointer jumping
     val docs = ((1L to 11L) :+ 99L).toDF("doc_id")
