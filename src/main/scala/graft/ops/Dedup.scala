@@ -408,15 +408,57 @@ object Dedup {
       shingleSize: Int = 5,
       maxBucketSize: Int = 10000,
       cacheSignatures: Boolean = true,
-      iterations: Int = 20): DataFrame = {
-    val pairs = minHashNearDupPairs(df, idCol, textCol, threshold, numHashes, bands,
-      shingleSize, maxBucketSize, cacheSignatures)
-      .select(col("id_a"), col("id_b"))
-    val survivors = nearDupClusters(df.select(col(idCol)), idCol, pairs, iterations)
+      iterations: Int = 20): DataFrame =
+    keepClusterMinima(df, idCol,
+      minHashNearDupPairs(df, idCol, textCol, threshold, numHashes, bands,
+        shingleSize, maxBucketSize, cacheSignatures), iterations)
+
+  /** Cluster-aware dedup shared by the transitive wrappers: close the pair
+    * list into connected components and keep each component's minimum. The
+    * survivor test is free — cluster labels ARE component minima, so a doc
+    * survives iff its label equals its own id.
+    */
+  private[ops] def keepClusterMinima(df: DataFrame, idCol: String, pairs: DataFrame,
+      iterations: Int): DataFrame = {
+    val survivors = nearDupClusters(df.select(col(idCol)), idCol,
+      pairs.select(col("id_a"), col("id_b")), iterations)
       .filter(col(idCol) === col("cluster_id"))
       .select(col(idCol))
     df.join(survivors, Seq(idCol), "left_semi")
   }
+
+  /** Cluster-aware simhash dedup: [[simHashNearDupPairs]] closed into
+    * connected components, one survivor (minimum id) per component — the
+    * transitive counterpart of [[simHashDedup]], exactly like
+    * [[minHashDedupTransitive]] vs [[minHashDedup]].
+    */
+  def simHashDedupTransitive(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000,
+      iterations: Int = 20): DataFrame =
+    keepClusterMinima(df, idCol,
+      simHashNearDupPairs(df, idCol, textCol, maxHamming, maxBucketSize), iterations)
+
+  /** Cluster-aware embedding dedup: [[embeddingNearDupPairs]] closed into
+    * connected components, one survivor (minimum id) per component.
+    */
+  def embeddingDedupTransitive(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      planes: Int = 16,
+      tables: Int = 6,
+      maxBucketSize: Int = 10000,
+      cacheVectors: Boolean = true,
+      iterations: Int = 20): DataFrame =
+    keepClusterMinima(df, idCol,
+      embeddingNearDupPairs(df, idCol, vecCol, dim, threshold, planes, tables,
+        maxBucketSize, cacheVectors), iterations)
 
   /** Frees a localCheckpoint's blocks NOW instead of waiting for GC-driven
     * cleanup. ONLY for checkpoints that nothing can reference again — a

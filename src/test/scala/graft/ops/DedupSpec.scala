@@ -177,6 +177,46 @@ class DedupSpec extends AnyFunSuite {
     assert(keptEmb == (0L until 30L).toSet, s"embeddingDedup kept $keptEmb")
   }
 
+  test("simHashDedupTransitive / embeddingDedupTransitive: chains collapse to one survivor") {
+    // simhash chain: each hop flips 2 fresh bits in different blocks, so
+    // adjacent docs sit at Hamming 2 (paired at bound 3) while the chain
+    // ends sit at Hamming 8 (never paired directly) — ids ordered so the
+    // one-pass wrapper would keep BOTH ends, the transitive one exactly one
+    val base = 0x0123456789abcdefL
+    val hops = Seq(0L,
+      (1L << 1) | (1L << 12),
+      (1L << 1) | (1L << 12) | (1L << 23) | (1L << 34),
+      (1L << 1) | (1L << 12) | (1L << 23) | (1L << 34) | (1L << 45) | (1L << 56),
+      (1L << 1) | (1L << 12) | (1L << 23) | (1L << 34) | (1L << 45) | (1L << 56)
+        | (1L << 2) | (1L << 13))
+    // ids: chain order 10,13,11,14,12 — doc 12 (the far end) has NO pair
+    // with a smaller id except via the chain interior
+    val ids = Seq(10L, 13L, 11L, 14L, 12L)
+    val rows = ids.zip(hops).map { case (i, m) => (i, base ^ m) }
+    val pairs = Dedup.simHashNearDupPairsOnHashes(rows.toDF("id", "sh"), "id", "sh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 13L), (11L, 13L), (11L, 14L), (12L, 14L)),
+      s"chain fixture pairs: $pairs")
+    val kept = Dedup.keepClusterMinima(
+      ids.toDF("id"), "id", pairs.toSeq.toDF("id_a", "id_b"), 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L), s"transitive chain must keep exactly its minimum: $kept")
+    // embedding transitive: 3 exact clones of one direction + 2 isolated
+    val dim = 8
+    def unit(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(dim)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val vecs = Seq((5L, unit(1)), (6L, unit(1)), (7L, unit(1)),
+      (8L, unit(2)), (9L, unit(3))).toDF("vec_id", "embedding")
+    val keptEmb = Dedup.embeddingDedupTransitive(vecs, "vec_id", "embedding", dim,
+      threshold = 0.99, planes = 4, tables = 8)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptEmb == Set(5L, 8L, 9L), s"embedding transitive kept $keptEmb")
+  }
+
   test("nearDupClusters: long transitive chains collapse to the minimum id") {
     // 11-node chain 1-2-...-11 needs ~log rounds thanks to pointer jumping
     val docs = ((1L to 11L) :+ 99L).toDF("doc_id")
