@@ -562,8 +562,25 @@ object Similarity {
     appendTombstones(spark, indexPath, resolved)
   }
 
+  /** Pending-tombstone backlog past this size stops broadcasting into the
+    * probes' anti-join (Spark's default autoBroadcastJoinThreshold is
+    * 10 MB) — the probe then shuffles its own pruned scan. Measured
+    * (BASELINE.md round 6): 8M pending tombstones (~100 MB) made a 32M-row
+    * fullprobe pay +94% vs clean; compacting restores it.
+    */
+  private val TombstoneBacklogWarnBytes = 8L * 1024 * 1024
+
+  private[ops] def tombstoneBacklogWarning(storeBytes: Long): Option[String] =
+    if (storeBytes <= TombstoneBacklogWarnBytes) None
+    else Some(f"[graft] removeFromIndex: the pending tombstone store is " +
+      f"${storeBytes / 1024.0 / 1024}%.1f MB — past broadcast size, so every " +
+      f"probe's tombstone anti-join will SHUFFLE its pruned index scan " +
+      f"(measured +94%% probe cost at ~100 MB pending); run compactIndex to " +
+      f"apply the deletions and clear the store")
+
   /** Appends resolved (cell, id) tombstones; returns how many rows this
-    * call added.
+    * call added. Warns loudly when the pending backlog grows past broadcast
+    * size — the probe-cost cliff the compaction cadence exists for.
     */
   private def appendTombstones(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, resolved: DataFrame): Long = {
@@ -574,7 +591,12 @@ object Similarity {
     // between compactions (which clear it); tombstone sets are tiny next to
     // the index, so a single writer task is the right shape
     resolved.repartition(1).write.mode("append").parquet(dir)
-    count() - before
+    val added = count() - before
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = scala.util.Try(fs.getContentSummary(p).getLength).getOrElse(0L)
+    tombstoneBacklogWarning(bytes).foreach(System.err.println)
+    added
   }
 
   /** Probe-side tombstone application: anti-join pending deletions out of a

@@ -594,6 +594,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fullprobe() == brute, "post-compaction probe diverged")
   }
 
+  test("tombstone backlog warning fires past broadcast size, names the remedy") {
+    assert(Similarity.tombstoneBacklogWarning(1024 * 1024).isEmpty,
+      "small backlogs must stay silent")
+    val w = Similarity.tombstoneBacklogWarning(100L * 1024 * 1024)
+    assert(w.exists(m => m.contains("SHUFFLE") && m.contains("compactIndex")),
+      s"big backlog must warn with the remedy: $w")
+  }
+
   test("compactIndex crash recovery: a moved-aside cell whose replacement never landed is restored") {
     val dim = 8
     val corpus = (0 until 200).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
