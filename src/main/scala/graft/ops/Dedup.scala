@@ -427,6 +427,53 @@ object Dedup {
     df.join(survivors, Seq(idCol), "left_semi")
   }
 
+  /** [[minHashDedupTransitive]] over STORED signatures: the transitive
+    * counterpart of [[minHashDedupOnSignatures]] — pair list from the
+    * fingerprint table, closed into connected components, one survivor per
+    * component. Rows of `df` without a fingerprint row are isolated and
+    * always survive.
+    */
+  def minHashDedupTransitiveOnSignatures(
+      df: DataFrame,
+      idCol: String,
+      sigs: DataFrame,
+      sigIdCol: String,
+      sigCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      maxBucketSize: Int = 10000,
+      iterations: Int = 20): DataFrame =
+    keepClusterMinima(df, idCol,
+      minHashNearDupPairsOnSignatures(sigs, sigIdCol, sigCol, threshold,
+        numHashes, bands, maxBucketSize), iterations)
+
+  /** One-pass simhash dedup over PRE-COMPUTED 64-bit fingerprints
+    * (`hashCol` on `df` itself) — [[simHashDedup]] for corpora that store
+    * their simhash at ingest. Rows with a null hash never pair and always
+    * survive.
+    */
+  def simHashDedupOnHashes(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame =
+    dropLosers(df, idCol,
+      simHashNearDupPairsOnHashes(df, idCol, hashCol, maxHamming, maxBucketSize))
+
+  /** Transitive counterpart of [[simHashDedupOnHashes]]. */
+  def simHashDedupTransitiveOnHashes(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000,
+      iterations: Int = 20): DataFrame =
+    keepClusterMinima(df, idCol,
+      simHashNearDupPairsOnHashes(df, idCol, hashCol, maxHamming, maxBucketSize),
+      iterations)
+
   /** Cluster-aware simhash dedup: [[simHashNearDupPairs]] closed into
     * connected components, one survivor (minimum id) per component — the
     * transitive counterpart of [[simHashDedup]], exactly like

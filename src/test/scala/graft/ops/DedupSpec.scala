@@ -217,6 +217,47 @@ class DedupSpec extends AnyFunSuite {
     assert(keptEmb == Set(5L, 8L, 9L), s"embedding transitive kept $keptEmb")
   }
 
+  test("stored-fingerprint dedup matrix: on-hashes and on-signatures wrappers agree with their text twins") {
+    // simhash on-hashes, one-pass + transitive, on the chain fixture: each
+    // hop Hamming 2, ends Hamming 8; ids 10,13,11,14,12 in chain order
+    val base = 0x0123456789abcdefL
+    val hops = Seq(0L,
+      (1L << 1) | (1L << 12),
+      (1L << 1) | (1L << 12) | (1L << 23) | (1L << 34),
+      (1L << 1) | (1L << 12) | (1L << 23) | (1L << 34) | (1L << 45) | (1L << 56),
+      (1L << 1) | (1L << 12) | (1L << 23) | (1L << 34) | (1L << 45) | (1L << 56)
+        | (1L << 2) | (1L << 13))
+    val rows = Seq(10L, 13L, 11L, 14L, 12L).zip(hops)
+      .map { case (i, m) => (i, base ^ m) }.toDF("id", "sh")
+    // pairs: (10,13),(11,13),(11,14),(12,14) -> one-pass losers {13,14} and
+    // 12 survives (its only pair (12,14) has 12 on the senior side)
+    val onePass = Dedup.simHashDedupOnHashes(rows, "id", "sh")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(onePass == Set(10L, 11L, 12L), s"one-pass on hashes kept $onePass")
+    val transitive = Dedup.simHashDedupTransitiveOnHashes(rows, "id", "sh")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(transitive == Set(10L), s"transitive on hashes kept $transitive")
+    // minhash transitive on stored signatures == text transitive on the
+    // chain corpus from the transitive test fixture
+    val rnd = new scala.util.Random(7)
+    val pool = Array.tabulate(200)(i => s"w${i}x${rnd.nextInt(1000)}")
+    def doc(i: Int): String = pool.slice(6 * i, 6 * i + 60).mkString(" ")
+    val docs = ((0 until 8).map(i => (10L + i, doc(i))) ++
+      Seq((900L, baseText))).toDF("doc_id", "text")
+    val fromText = Dedup.minHashDedupTransitive(docs, "doc_id", "text",
+      threshold = 0.7, numHashes = 128, bands = 32)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val sigDir = java.nio.file.Files.createTempDirectory("graft_tsig_").toString
+    Dedup.minHashSignatures(docs, "doc_id", "text", numHashes = 128)
+      .write.mode("overwrite").parquet(sigDir)
+    val fromSigs = Dedup.minHashDedupTransitiveOnSignatures(docs, "doc_id",
+      spark.read.parquet(sigDir), "doc_id", "minhash_sig",
+      threshold = 0.7, numHashes = 128, bands = 32)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(fromSigs == fromText, s"stored-sig transitive diverged: $fromSigs vs $fromText")
+    assert(fromSigs == Set(10L, 900L), s"chain must collapse to its minimum: $fromSigs")
+  }
+
   test("nearDupClusters: long transitive chains collapse to the minimum id") {
     // 11-node chain 1-2-...-11 needs ~log rounds thanks to pointer jumping
     val docs = ((1L to 11L) :+ 99L).toDF("doc_id")
