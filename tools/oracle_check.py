@@ -1,4 +1,4 @@
-import duckdb, json, glob, os, sys
+import datetime, duckdb, json, glob, os, sys
 
 outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_sf001"
 sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
@@ -11,11 +11,22 @@ for t in glob.glob(f"{sfdir}/*.parquet"):
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
+def val(v):
+    # normalize temporal types: Spark writes day-truncated values as
+    # TIMESTAMP (midnight) while DuckDB's date_trunc over DATE columns
+    # yields DATE — stringify both as "YYYY-MM-DD HH:MM:SS" so the compare
+    # matches the driver's behavior instead of false-failing locally
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, datetime.date):
+        return v.strftime("%Y-%m-%d") + " 00:00:00"
+    return str(v)
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
-        out.append(tuple(str(r[i]) for i in order))
+        out.append(tuple(val(r[i]) for i in order))
     return sorted(out), [cols[i] for i in order]
 
 fails = 0
