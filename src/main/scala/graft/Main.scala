@@ -33,6 +33,7 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Main <jar> ivf-compact <indexPath> [filesPerCell] [maxCells] [maxBytes]
   * spark-submit --class graft.Main <jar> ivf-compact-soak <rows> <dim> <appendBatches> <indexPath> <outPath> [k] [nProbe]
   * spark-submit --class graft.Main <jar> ivf-delete-soak <rows> <dim> <removeEvery> <indexPath> <outPath> [k] [nProbe]
+  * spark-submit --class graft.Main <jar> shard-export-soak <pagesPath> <numShards> <outDir>
   * }}}
   *
   * No master/parallelism is hard-coded: cluster size, executor counts, AQE
@@ -728,6 +729,40 @@ object Main {
             "probe_sec_clean", "bytes_before", "bytes_after", "rows_after")
           .write.mode("overwrite").parquet(out)
         spark.read.parquet(out).show(false)
+
+      // Training-export soak: shuffleIntoShards over the pages corpus,
+      // written with partitionBy(shard) — the deterministic shard +
+      // intra-shard-shuffle export at corpus scale. Reports export
+      // throughput and shard balance; a rerun must produce bit-identical
+      // shard files (determinism is the whole point).
+      case "shard-export-soak" =>
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        need(args, 4, "<pagesPath> <numShards> <outDir>")
+        val Array(_, in, shardsS, outDir) = args.take(4)
+        val numShards = shardsS.toInt
+        val pages = pagesWithUniqueRid(spark, in)
+        def secs[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime()
+          val a = f
+          (a, (System.nanoTime() - t0) / 1e9)
+        }
+        val (_, exportSec) = secs(
+          graft.ops.Sampling.shuffleIntoShards(pages, col("_rid"), numShards)
+            .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/rows"))
+        val stats = spark.read.parquet(s"$outDir/rows")
+          .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("shards"), min(col("n")).as("min_rows"),
+            max(col("n")).as("max_rows"), sum(col("n")).as("total"))
+          .collect()(0)
+        require(stats.getLong(0) == numShards.toLong,
+          s"expected $numShards shards, got ${stats.getLong(0)}")
+        Seq((stats.getLong(3), numShards, exportSec,
+          stats.getLong(3) / exportSec, stats.getLong(1), stats.getLong(2)))
+          .toDF("rows", "shards", "export_sec", "rows_per_sec",
+            "min_shard_rows", "max_shard_rows")
+          .write.mode("overwrite").parquet(s"$outDir/summary")
+        spark.read.parquet(s"$outDir/summary").show(false)
 
       // ...and serve query batches with partition-pruned probes.
       case "ivf-probe" =>
