@@ -103,6 +103,13 @@ object Main {
 
   private def printCapStats(op: String): Unit = println(capStatsSummary(op))
 
+  /** Wall-clock a step — shared by every soak command. */
+  private def secs[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
   /** Deterministic synthetic embeddings shared by the embedding soaks:
     * component (row, j) is wyhash-derived uniform in [-1, 1) — one
     * definition so cross-soak numbers stay comparable.
@@ -221,11 +228,6 @@ object Main {
         val Array(_, in, sigDir, out) = args.take(4)
         val threshold = if (args.length > 4) args(4).toDouble else 0.8
         val pages = pagesWithUniqueRid(spark, in)
-        def secs[A](f: => A): (A, Double) = {
-          val t0 = System.nanoTime()
-          val a = f
-          (a, (System.nanoTime() - t0) / 1e9)
-        }
         val (_, ingestSec) = secs(
           Dedup.minHashSignatures(pages, "_rid", "text")
             .write.mode("overwrite").parquet(sigDir))
@@ -241,6 +243,12 @@ object Main {
         val (textPairs, textSec) = secs(fromText.count())
         require(onSigsPairs == textPairs,
           s"stored-signature path diverged: $onSigsPairs vs $textPairs pairs")
+        // the soak's headline claim, enforced: the stored-sig plan must not
+        // re-hash text AT ALL (pair counts alone would not catch a silent
+        // fallback to recomputation)
+        require(onSigsRehashes == 0,
+          s"stored-signature plan re-hashes text ($onSigsRehashes " +
+            s"minhash_signature nodes) — the ingest-once contract is broken")
         Seq((onSigsPairs, textPairs, ingestSec, onSigsSec, textSec,
           onSigsRehashes, textRehashes))
           .toDF("pairs_onsigs", "pairs_text", "ingest_sec", "onsigs_sec",
@@ -457,11 +465,6 @@ object Main {
         val batches = if (args.length > 7) args(7).toInt else 5
         val soakFilesPerCell = if (args.length > 8) args(8).toInt else 1
         val vecs = syntheticVecs(spark, rows, dim)
-        def secs[A](f: => A): (A, Double) = {
-          val t0 = System.nanoTime()
-          val a = f
-          (a, (System.nanoTime() - t0) / 1e9)
-        }
         val (centroids, trainSec) =
           secs(graft.ops.Similarity.trainIvfCentroids(vecs, "embedding", kCentroids))
         val (_, buildSec) = secs(graft.ops.Similarity.assignCells(
@@ -616,11 +619,6 @@ object Main {
         val (rows, dim, batches) = (rowsS.toLong, dimS.toInt, batchesS.toInt)
         val kCentroids = if (args.length > 6) args(6).toInt else 256
         val nProbe = if (args.length > 7) args(7).toInt else 8
-        def secs[A](f: => A): (A, Double) = {
-          val t0 = System.nanoTime()
-          val a = f
-          (a, (System.nanoTime() - t0) / 1e9)
-        }
         val base = syntheticVecs(spark, rows, dim)
         val centroids = graft.ops.Similarity.trainIvfCentroids(base, "embedding", kCentroids)
         val (_, buildSec) = secs(graft.ops.Similarity.assignCells(
@@ -681,11 +679,6 @@ object Main {
         require(removeEvery >= 2, "removeEvery must be >= 2 (keep some rows)")
         val kCentroids = if (args.length > 6) args(6).toInt else 256
         val nProbe = if (args.length > 7) args(7).toInt else 8
-        def secs[A](f: => A): (A, Double) = {
-          val t0 = System.nanoTime()
-          val a = f
-          (a, (System.nanoTime() - t0) / 1e9)
-        }
         val vecs = syntheticVecs(spark, rows, dim)
         val centroids = graft.ops.Similarity.trainIvfCentroids(vecs, "embedding", kCentroids)
         val (_, buildSec) = secs(graft.ops.Similarity.assignCells(
@@ -742,11 +735,6 @@ object Main {
         val Array(_, in, shardsS, outDir) = args.take(4)
         val numShards = shardsS.toInt
         val pages = pagesWithUniqueRid(spark, in)
-        def secs[A](f: => A): (A, Double) = {
-          val t0 = System.nanoTime()
-          val a = f
-          (a, (System.nanoTime() - t0) / 1e9)
-        }
         val (_, exportSec) = secs(
           graft.ops.Sampling.shuffleIntoShards(pages, col("_rid"), numShards)
             .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/rows"))

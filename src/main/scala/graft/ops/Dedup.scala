@@ -296,8 +296,20 @@ object Dedup {
       bands: Int = 16,
       maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
-    val sigs = df.select(col(idCol).as("_id"), col(sigCol).as("_sig"))
-      .filter(col("_sig").isNotNull)
+    // in-plan width guard (no extra pass): a stored signature narrower than
+    // numHashes would make every high band key a CONSTANT (all slots out of
+    // range), banding the whole corpus into one bucket per band — either a
+    // quadratic self-join or a silently-capped empty result. Fail fast with
+    // the actual widths instead.
+    val checkedSig = when(size(col(sigCol)) === numHashes, col(sigCol))
+      .otherwise(raise_error(format_string(
+        s"stored minhash signature has %s slots but numHashes=$numHashes was " +
+          s"requested — pass the ingest-time numHashes", size(col(sigCol))))
+        .cast("array<bigint>"))
+    // nulls drop BEFORE the width check (size(null) is null and would take
+    // the raise_error branch)
+    val sigs = df.filter(col(sigCol).isNotNull)
+      .select(col(idCol).as("_id"), checkedSig.as("_sig"))
       .filter(element_at(col("_sig"), 1) =!= Long.MaxValue)
     pairsFromSigFrame(sigs, threshold, bands, numHashes / bands, maxBucketSize)
   }

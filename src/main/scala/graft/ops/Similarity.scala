@@ -419,6 +419,13 @@ object Similarity {
       indexPath: String,
       repartitionByCell: Boolean = true,
       filesPerCell: Int = 1): Unit = {
+    // refuse to append into a torn post-crash index: writing into a cell
+    // whose pre-crash rows sit in the trash is exactly the interleaving the
+    // recovery merge exists for — better to not create it
+    val apRoot = new org.apache.hadoop.fs.Path(indexPath)
+    checkIndexHealth(
+      apRoot.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration),
+      apRoot, "appendToIndex", requireCells = false)
     val centroids = loadCentroids(corpus.sparkSession, indexPath)
     assignedFrame(corpus, corpusId, corpusVec, centroids, repartitionByCell,
       filesPerCell)
@@ -584,6 +591,10 @@ object Similarity {
     */
   private def appendTombstones(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, resolved: DataFrame): Long = {
+    val tsRoot = new org.apache.hadoop.fs.Path(indexPath)
+    checkIndexHealth(
+      tsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      tsRoot, "removeFromIndex", requireCells = false)
     val dir = s"$indexPath/$TombstonesDir"
     def count(): Long = loadTombstones(spark, indexPath).map(_.count()).getOrElse(0L)
     val before = count()
@@ -600,7 +611,10 @@ object Similarity {
   }
 
   /** Probe-side tombstone application: anti-join pending deletions out of a
-    * pruned index scan, touching only the probed cells' tombstones.
+    * pruned index scan, touching only the probed cells' tombstones. Keyed on
+    * (cell, id), not id alone: a tombstone only ever masks the row in ITS
+    * cell — a wrong-cell tombstone (a drifted vector through
+    * [[removeFromIndexByVector]]) masks nothing, exactly as documented.
     */
   private def applyTombstones(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, pruned: DataFrame, probedCells: Array[Int]): DataFrame =
@@ -609,10 +623,32 @@ object Similarity {
       case Some(ts) =>
         val relevant = ts
           .filter(col("cell").isin(probedCells.map(c => c: Any): _*))
-          .select(col("id"))
-        pruned.join(relevant, Seq("id"), "left_anti")
+          .select(col("cell"), col("id"))
+        pruned.join(relevant, Seq("cell", "id"), "left_anti")
       case None => pruned
     }
+
+  /** One-RPC health check shared by probes and mutations: the root listing
+    * yields both "does the index hold data cells" and "are there
+    * interrupted-compaction leftovers". Leftover work dirs mean the index
+    * is serving a torn state (a probed cell's rows may sit in the trash, or
+    * cleared tombstones may be mid-rewrite) — refuse loudly instead of
+    * returning silently wrong answers; [[compactIndex]] heals on its next
+    * call.
+    */
+  private def checkIndexHealth(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, op: String, requireCells: Boolean): Unit = {
+    val names = fs.listStatus(root).map(_.getPath.getName)
+    require(!names.contains(CompactTrashDir) && !names.contains(s"$TombstonesDir.tmp"),
+      s"$op: IVF index at $root has interrupted-compaction leftovers " +
+        s"($CompactTrashDir / $TombstonesDir.tmp) — run compactIndex " +
+        s"(CLI: ivf-compact) to heal before touching the index; probing or " +
+        s"mutating a torn index would silently lose rows")
+    if (requireCells)
+      require(names.exists(_.startsWith("cell=")),
+        s"$op: IVF index at $root has no data cells (every row deleted, or " +
+          s"never built) — append or rebuild before probing")
+  }
 
   /** Crash recovery for [[compactIndex]]'s swap: restore any cell moved to
     * the trash dir whose replacement never landed, then clear the work dirs.
@@ -621,18 +657,38 @@ object Similarity {
   private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Unit = {
     val trash = new org.apache.hadoop.fs.Path(root, CompactTrashDir)
+    val tmp = new org.apache.hadoop.fs.Path(root, CompactTmpDir)
     if (fs.exists(trash)) {
       fs.listStatus(trash).filter(_.getPath.getName.startsWith("cell=")).foreach { s =>
         val dest = new org.apache.hadoop.fs.Path(root, s.getPath.getName)
+        val fresh = new org.apache.hadoop.fs.Path(tmp, s.getPath.getName)
         if (!fs.exists(dest)) {
           fs.rename(s.getPath, dest)
           System.err.println(s"[graft] compactIndex: restored ${s.getPath.getName} " +
             s"from an interrupted prior compaction")
+        } else if (fs.exists(fresh)) {
+          // this cell's replacement still sits in tmp, so its swap never
+          // completed — the existing live dir must have been recreated by an
+          // out-of-band write between the crash and now. MERGE the
+          // moved-aside originals back in (part file names are job-unique,
+          // so renames cannot collide); refuse loudly rather than lose data
+          // if one somehow does. The un-swapped tmp replacement is discarded
+          // below — its deletions re-apply from the still-pending tombstones.
+          fs.listStatus(s.getPath).filter(_.isFile).foreach { f =>
+            val target = new org.apache.hadoop.fs.Path(dest, f.getPath.getName)
+            require(fs.rename(f.getPath, target),
+              s"compaction recovery could not merge ${f.getPath} into $dest " +
+                s"(name collision?) — resolve manually before compacting")
+          }
+          System.err.println(s"[graft] compactIndex: merged ${s.getPath.getName}'s " +
+            s"moved-aside rows back into a live dir recreated out-of-band " +
+            s"during an interrupted compaction")
         }
+        // else: the swap completed (replacement landed, tmp gone) — the
+        // trash entry is the superseded copy and drops with the trash dir
       }
       fs.delete(trash, true)
     }
-    val tmp = new org.apache.hadoop.fs.Path(root, CompactTmpDir)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     // tombstone-store rewrite interrupted between its delete and rename: the
     // remaining PENDING entries live only in the tmp dir — losing them would
@@ -710,7 +766,8 @@ object Similarity {
         .map(_.getInt(0)).toSet
       case None => Set.empty
     }
-    val candidates = cellFileStats(spark, indexPath).toSeq
+    val liveStats = cellFileStats(spark, indexPath)
+    val candidates = liveStats.toSeq
       .filter { case (cell, (files, _)) =>
         files > filesPerCell || tombstoneCells.contains(cell) }
       .sortBy { case (cell, (files, _)) => (-files, cell) }
@@ -726,14 +783,26 @@ object Similarity {
       }
       picked.toSeq
     }
-    if (selected.isEmpty) return Seq.empty
+    if (selected.isEmpty) {
+      // nothing to rewrite — but ORPHANED tombstones (entries whose cell no
+      // longer exists, from a crash between a prior run's swap and its store
+      // rewrite) must still be dropped here, or they sit in the store
+      // forever: a vanished cell can never be selected
+      if ((tombstoneCells -- liveStats.keySet).nonEmpty)
+        loadTombstones(spark, indexPath).foreach(ts =>
+          rewriteTombstoneStore(spark, fs, root, ts, liveStats.keySet))
+      return Seq.empty
+    }
     val pending = loadTombstones(spark, indexPath)
     val rows0 = spark.read.parquet(indexPath)
       .filter(col("cell").isin(selected.map(c => c: Any): _*))
+    // anti-join on (cell, id), like the probe path: a wrong-cell tombstone
+    // must not delete a live same-id row in another selected cell
     val rows = pending match {
       case Some(ts) => rows0.join(
-        ts.filter(col("cell").isin(selected.map(c => c: Any): _*)).select(col("id")),
-        Seq("id"), "left_anti")
+        ts.filter(col("cell").isin(selected.map(c => c: Any): _*))
+          .select(col("cell"), col("id")),
+        Seq("cell", "id"), "left_anti")
       case None => rows0
     }
     val relaid =
@@ -767,20 +836,30 @@ object Similarity {
     pending.foreach { ts =>
       // only cells that still exist AND were not compacted this run can
       // legitimately hold pending entries
-      val keepCells = cellFileStats(spark, indexPath).keySet -- selected
-      val remaining =
-        if (keepCells.isEmpty) ts.filter(lit(false))
-        else ts.filter(col("cell").isin(keepCells.toSeq.map(c => c: Any): _*))
-      val tsDir = new org.apache.hadoop.fs.Path(root, TombstonesDir)
-      if (remaining.isEmpty) fs.delete(tsDir, true)
-      else {
-        val tsTmp = new org.apache.hadoop.fs.Path(root, s"$TombstonesDir.tmp")
-        remaining.repartition(1).write.mode("overwrite").parquet(tsTmp.toString)
-        fs.delete(tsDir, true)
-        fs.rename(tsTmp, tsDir)
-      }
+      rewriteTombstoneStore(spark, fs, root, ts,
+        cellFileStats(spark, indexPath).keySet -- selected)
     }
     selected
+  }
+
+  /** Rewrites the tombstone store to only the entries in `keepCells`
+    * (deleting it outright when nothing remains), via the same
+    * tmp-then-swap shape the data cells use.
+    */
+  private def rewriteTombstoneStore(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      ts: DataFrame, keepCells: Set[Int]): Unit = {
+    val remaining =
+      if (keepCells.isEmpty) ts.filter(lit(false))
+      else ts.filter(col("cell").isin(keepCells.toSeq.map(c => c: Any): _*))
+    val tsDir = new org.apache.hadoop.fs.Path(root, TombstonesDir)
+    if (remaining.isEmpty) fs.delete(tsDir, true)
+    else {
+      val tsTmp = new org.apache.hadoop.fs.Path(root, s"$TombstonesDir.tmp")
+      remaining.repartition(1).write.mode("overwrite").parquet(tsTmp.toString)
+      fs.delete(tsDir, true)
+      fs.rename(tsTmp, tsDir)
+    }
   }
 
   /** Skew check shared by [[assignCells]] and [[appendToIndex]]: warn when the hottest
@@ -839,12 +918,14 @@ object Similarity {
       k: Int,
       nProbe: Int = 4): DataFrame = {
     val centroids = loadCentroids(spark, indexPath)
-    // a degenerate index with a sidecar but zero data cells (everything
-    // deleted and compacted away) would otherwise die in parquet schema
-    // inference with an unrelated-looking error
-    require(cellFileStats(spark, indexPath).nonEmpty,
-      s"IVF index at $indexPath has no data cells (every row deleted, or " +
-        s"never built) — append or rebuild before probing")
+    // one root listing: refuse torn post-crash state (rows may sit in the
+    // trash, tombstones mid-rewrite) and the degenerate zero-cell index
+    // (which would otherwise die in parquet schema inference with an
+    // unrelated-looking error)
+    val healthRoot = new org.apache.hadoop.fs.Path(indexPath)
+    checkIndexHealth(
+      healthRoot.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      healthRoot, "ivfTopKFromIndex", requireCells = true)
     val probe = math.min(nProbe, centroids.length)
     // materialized ONCE (small by contract — it broadcasts into the join):
     // the frame is read twice (probed-cell collect + the join), and a

@@ -766,6 +766,24 @@ class DedupSpec extends AnyFunSuite {
       s"fingerprint-less rows must survive: $keptExtra")
   }
 
+  test("minHashNearDupPairsOnSignatures fails fast on a signature-width mismatch") {
+    val docs = Seq((1L, baseText), (2L, mutate(baseText, 1, 3))).toDF("doc_id", "text")
+    val stored = Dedup.minHashSignatures(docs, "doc_id", "text", numHashes = 64)
+    // numHashes=128 against 64-slot stored signatures: every high band would
+    // degenerate to one corpus-wide constant bucket — must raise, not band
+    val e = intercept[Exception] {
+      Dedup.minHashNearDupPairsOnSignatures(stored, "doc_id", "minhash_sig",
+        numHashes = 128).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("numHashes")),
+      s"expected a width-mismatch error, got: $e")
+    // matching width still works
+    assert(Dedup.minHashNearDupPairsOnSignatures(stored, "doc_id", "minhash_sig",
+      numHashes = 64).count() >= 0)
+  }
+
   test("minHashDedupTransitive: a near-dup CHAIN keeps exactly its minimum id") {
     // sliding-window chain: doc i covers words [6i, 6i+60) of a 200-word
     // pool — adjacent docs share 54/66 words (Jaccard ~0.82 on shingles),

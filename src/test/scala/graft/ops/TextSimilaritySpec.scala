@@ -602,6 +602,118 @@ class SimilaritySpec extends AnyFunSuite {
       s"big backlog must warn with the remedy: $w")
   }
 
+  test("tombstones are (cell, id)-scoped: a wrong-cell tombstone masks and deletes nothing") {
+    val dim = 8
+    val corpus = (0 until 200).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
+    val centroids = Similarity.trainIvfCentroids(corpus, "vec", k = 4, sampleSize = 200)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_cellscope_").toString
+    Similarity.assignCells(corpus, "id", "vec", centroids, idx)
+    // pick an id and tombstone it with a DRIFTED vector that resolves to a
+    // DIFFERENT cell — the documented masks-nothing case
+    val byCell = spark.read.parquet(idx).select($"id", $"cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val victim = byCell.keys.head
+    val otherCell = byCell.values.find(_ != byCell(victim)).get
+    val drifted = centroids(otherCell).map(_.toFloat).toSeq // sits ON the other centroid
+    assert(Similarity.removeFromIndexByVector(spark, idx,
+      Seq((victim, drifted)).toDF("id", "vec"), "id", "vec") == 1L)
+    // probe with the victim's REAL vector, probing every cell: the row must
+    // still be served (the tombstone lives in the wrong cell)
+    val vq = corpus.filter($"id" === victim)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val got = Similarity.ivfTopKFromIndex(spark, idx, vq, "qid", "qvec",
+      k = 1, nProbe = centroids.length)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(victim) == victim,
+      s"a wrong-cell tombstone must mask nothing: $got")
+    // compaction (which selects both cells) must not delete the live row
+    // either, and must clear the inert tombstone
+    Similarity.compactIndex(spark, idx)
+    assert(spark.read.parquet(idx).filter($"id" === victim).count() == 1L,
+      "a wrong-cell tombstone physically deleted a live row")
+    assert(!new java.io.File(idx, "_tombstones").exists, "inert tombstone not cleared")
+  }
+
+  test("torn post-crash index: probes and mutations refuse loudly; compactIndex heals") {
+    val dim = 8
+    val corpus = (0 until 100).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
+    val centroids = Similarity.trainIvfCentroids(corpus, "vec", k = 2, sampleSize = 100)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_torn_").toString
+    Similarity.assignCells(corpus, "id", "vec", centroids, idx)
+    val queries = corpus.limit(2).select($"id".as("qid"), $"vec".as("qvec"))
+    assert(new java.io.File(idx, "_compact_trash").mkdir())
+    def mustRefuse(f: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("interrupted-compaction leftovers"), e.getMessage)
+    }
+    // a probe against the torn state would silently lose rows — refuse
+    mustRefuse(Similarity.ivfTopKFromIndex(spark, idx, queries, "qid", "qvec", 1, 1))
+    mustRefuse(Similarity.appendToIndex(corpus.limit(1), "id", "vec", idx))
+    mustRefuse(Similarity.removeFromIndex(spark, idx, Seq(0L).toDF("id")))
+    // compaction heals, then everything works again
+    Similarity.compactIndex(spark, idx)
+    assert(Similarity.ivfTopKFromIndex(spark, idx, queries, "qid", "qvec", 1,
+      centroids.length).count() == 2L)
+  }
+
+  test("compactIndex recovery merges a moved-aside cell into a live dir recreated out-of-band") {
+    val dim = 8
+    val corpus = (0 until 200).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
+    val centroids = Similarity.trainIvfCentroids(corpus, "vec", k = 2, sampleSize = 200)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_merge_").toString
+    Similarity.assignCells(corpus, "id", "vec", centroids, idx)
+    // second file in cell 0 via an append of rows sitting on centroid 0
+    Similarity.appendToIndex(
+      (1000L until 1010L).map(i => (i, centroids(0).map(_.toFloat).toSeq))
+        .toDF("id", "vec"), "id", "vec", idx)
+    val total = spark.read.parquet(idx).count()
+    val cell0 = new java.io.File(idx, "cell=0")
+    val files = cell0.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 2, s"fixture needs 2 files in cell 0: ${files.toSeq}")
+    // simulate: crash after live->trash rename with the replacement still in
+    // tmp, then an out-of-band writer recreated cell=0 with OTHER rows
+    // (here: one of the original files, moved back by hand)
+    val trash = new java.io.File(idx, "_compact_trash"); assert(trash.mkdir())
+    val stash = java.nio.file.Files.createTempDirectory("graft_stash_")
+    java.nio.file.Files.move(files(0).toPath, stash.resolve(files(0).getName))
+    assert(cell0.renameTo(new java.io.File(trash, "cell=0")))
+    assert(cell0.mkdir())
+    java.nio.file.Files.move(stash.resolve(files(0).getName),
+      new java.io.File(cell0, files(0).getName).toPath)
+    val tmp = new java.io.File(idx, "_compact_tmp/cell=0"); assert(tmp.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(tmp, "part-discard.parquet").toPath, "never-read")
+    // recovery must MERGE the moved-aside file back (tmp existence proves the
+    // swap never completed), not drop it as a superseded copy
+    Similarity.compactIndex(spark, idx)
+    assert(spark.read.parquet(idx).count() == total,
+      "recovery lost rows when the live dir had been recreated out-of-band")
+    assert(!trash.exists && !new java.io.File(idx, "_compact_tmp").exists)
+  }
+
+  test("orphaned tombstones are cleared even when nothing qualifies for compaction") {
+    val dim = 8
+    val corpus = (0 until 100).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
+    val centroids = Similarity.trainIvfCentroids(corpus, "vec", k = 2, sampleSize = 100)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_orphan_").toString
+    Similarity.assignCells(corpus, "id", "vec", centroids, idx)
+    val cell0Ids = spark.read.parquet(idx).filter($"cell" === 0)
+      .select($"id").collect().map(_.getLong(0)).toSeq
+    Similarity.removeFromIndex(spark, idx, cell0Ids.toDF("id"))
+    // simulate the crash orphaning: the cell vanished but its tombstones
+    // survived (prior swap completed, store rewrite never ran)
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete()
+    }
+    deleteRec(new java.io.File(idx, "cell=0"))
+    // nothing is fragmented and the only tombstoned cell no longer exists:
+    // the run selects nothing but must STILL clear the orphans
+    assert(Similarity.compactIndex(spark, idx).isEmpty)
+    assert(!new java.io.File(idx, "_tombstones").exists,
+      "orphaned tombstones must not sit in the store forever")
+  }
+
   test("compactIndex crash recovery: a moved-aside cell whose replacement never landed is restored") {
     val dim = 8
     val corpus = (0 until 200).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
