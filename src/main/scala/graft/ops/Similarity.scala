@@ -470,6 +470,15 @@ object Similarity {
     */
   def indexCellStats(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): DataFrame = {
+    // the dashboard stays usable on a TORN index (it is how an operator
+    // diagnoses one) but must not silently under-report it
+    val statsRoot = new org.apache.hadoop.fs.Path(indexPath)
+    val statsFs = statsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (statsFs.exists(new org.apache.hadoop.fs.Path(statsRoot, CompactTrashDir)) ||
+        statsFs.exists(new org.apache.hadoop.fs.Path(statsRoot, s"$TombstonesDir.tmp")))
+      System.err.println(s"[graft] indexCellStats: $indexPath has " +
+        s"interrupted-compaction leftovers — rows still in $CompactTrashDir " +
+        s"are NOT counted below; run compactIndex to heal")
     val files = spark.createDataFrame(
       cellFileStats(spark, indexPath).toSeq.map { case (c, (f, b)) => (c, f, b) })
       .toDF("cell", "files", "bytes")
@@ -527,6 +536,12 @@ object Similarity {
       indexPath: String,
       ids: DataFrame,
       idCol: String = "id"): Long = {
+    // health BEFORE the index read: a torn/empty index would otherwise die
+    // inside parquet schema inference with an unrelated-looking error
+    val rmRoot = new org.apache.hadoop.fs.Path(indexPath)
+    checkIndexHealth(
+      rmRoot.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      rmRoot, "removeFromIndex", requireCells = true)
     val index = spark.read.parquet(indexPath).select(col("id"), col("cell"))
     val resolved = index
       .join(ids.select(col(idCol).as("id")).distinct(), Seq("id"), "left_semi")
@@ -559,6 +574,10 @@ object Similarity {
       df: DataFrame,
       idCol: String = "id",
       vecCol: String = "vec"): Long = {
+    val rmvRoot = new org.apache.hadoop.fs.Path(indexPath)
+    checkIndexHealth(
+      rmvRoot.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      rmvRoot, "removeFromIndexByVector", requireCells = false)
     val centroids = loadCentroids(spark, indexPath)
     val resolved = df.select(
         get(graft.functions.nearest_centroids(col(vecCol), centroids, 1), lit(0))
@@ -591,10 +610,6 @@ object Similarity {
     */
   private def appendTombstones(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, resolved: DataFrame): Long = {
-    val tsRoot = new org.apache.hadoop.fs.Path(indexPath)
-    checkIndexHealth(
-      tsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration),
-      tsRoot, "removeFromIndex", requireCells = false)
     val dir = s"$indexPath/$TombstonesDir"
     def count(): Long = loadTombstones(spark, indexPath).map(_.count()).getOrElse(0L)
     val before = count()
@@ -638,6 +653,8 @@ object Similarity {
     */
   private def checkIndexHealth(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, op: String, requireCells: Boolean): Unit = {
+    require(fs.exists(root),
+      s"$op: no IVF index at $root — build one with assignCells first")
     val names = fs.listStatus(root).map(_.getPath.getName)
     require(!names.contains(CompactTrashDir) && !names.contains(s"$TombstonesDir.tmp"),
       s"$op: IVF index at $root has interrupted-compaction leftovers " +
@@ -784,13 +801,17 @@ object Similarity {
       picked.toSeq
     }
     if (selected.isEmpty) {
-      // nothing to rewrite — but ORPHANED tombstones (entries whose cell no
-      // longer exists, from a crash between a prior run's swap and its store
-      // rewrite) must still be dropped here, or they sit in the store
-      // forever: a vanished cell can never be selected
-      if ((tombstoneCells -- liveStats.keySet).nonEmpty)
-        loadTombstones(spark, indexPath).foreach(ts =>
-          rewriteTombstoneStore(spark, fs, root, ts, liveStats.keySet))
+      // nothing to rewrite — and since any LIVE tombstoned cell is always a
+      // candidate (and the head candidate is always picked), an empty
+      // selection means every remaining store entry is an ORPHAN (its cell
+      // vanished in a prior crash window between swap and store rewrite):
+      // drop the store outright, or it sits there forever
+      if (tombstoneCells.nonEmpty) {
+        fs.delete(new org.apache.hadoop.fs.Path(root, TombstonesDir), true)
+        System.err.println(s"[graft] compactIndex: dropped " +
+          s"${tombstoneCells.size} orphaned tombstone cell group(s) whose " +
+          s"cells no longer exist")
+      }
       return Seq.empty
     }
     val pending = loadTombstones(spark, indexPath)
