@@ -40,8 +40,16 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *     observe node but runs no job, and the later materialization runs
   *     under a LogicalRDD plan that no longer contains it.
   * The direct measurement costs one extra pass over the banding aggregate
-  * FOR EXACTLY THOSE RUNS (delivered metrics stay free); it runs on its own
-  * daemon thread so the shared listener bus is never blocked behind a job.
+  * for exactly those runs (delivered metrics stay free) — note that on the
+  * transitive/cluster paths "those runs" is EVERY run: the lazy checkpoint
+  * always misses, so loud metrics there cost one banding pass per run,
+  * launched at checkpoint-creation time (before the main pipeline's own
+  * jobs) on a daemon worker so the shared listener bus is never blocked.
+  * With cacheSignatures=true the measurement may materialize the lazily
+  * checkpointed signature frame first — the main pipeline then reuses those
+  * blocks, so the work is shared, not doubled. Pipelines that cannot afford
+  * the extra pass should pre-materialize their capped plan (any direct
+  * action delivers the metric in-plan and the thunk is discarded).
   */
 object GraftMetrics {
 
@@ -108,6 +116,10 @@ object GraftMetrics {
     Option(elided.get(opName)).map(_.get()).getOrElse(0L)
 
   private val elided = new ConcurrentHashMap[String, AtomicLong]()
+
+  /** Observe names whose direct measurement is queued or running. */
+  private val measuring =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** One shared daemon worker for direct measurements: runs the small count
     * job off the listener bus (never blocking it behind a Spark job) while
@@ -208,9 +220,13 @@ object GraftMetrics {
             name.stripPrefix(Prefix).split('#') match {
               case Array(op, cap, counter) =>
                 // remove-then-measure: each capped plan is measured at most
-                // once, even if several executions miss the same metric
+                // once, even if several executions miss the same metric. The
+                // in-flight set keeps a SECOND miss of the same name (two
+                // actions on one elided plan) from reading "thunk gone +
+                // stats not yet landed" as a failed measurement.
                 val thunk = pendingMeasure.remove(name)
                 if (thunk != null) {
+                  measuring.add(name)
                   measurePool.execute(() => {
                     try recordStats(op, counter.toLong, thunk(),
                       " (measured directly: the in-plan metric was not delivered)")
@@ -224,9 +240,9 @@ object GraftMetrics {
                           s"the direct measurement failed (${e.getMessage}) — " +
                           s"the dropped-row share of this run is UNKNOWN; " +
                           s"inspect bucket counts directly")
-                    }
+                    } finally measuring.remove(name)
                   })
-                } else if (!hasStats(op, counter.toLong)) {
+                } else if (!measuring.contains(name) && !hasStats(op, counter.toLong)) {
                   // no thunk (evicted) and never recorded: the last-resort
                   // UNKNOWN trace — a capped run must always leave one
                   elided.computeIfAbsent(op, _ => new AtomicLong()).incrementAndGet()

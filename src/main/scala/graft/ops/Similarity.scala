@@ -479,8 +479,15 @@ object Similarity {
       System.err.println(s"[graft] indexCellStats: $indexPath has " +
         s"interrupted-compaction leftovers — rows still in $CompactTrashDir " +
         s"are NOT counted below; run compactIndex to heal")
+    val perCell = cellFileStats(spark, indexPath)
+    // a legitimately emptied index (every row deleted and compacted away)
+    // has no data files to infer a schema from — the dashboard must report
+    // "no cells", not die in parquet schema inference
+    if (perCell.isEmpty)
+      return spark.createDataFrame(Seq.empty[(Int, Long, Int, Long, Long)])
+        .toDF("cell", "rows", "files", "bytes", "tombstones")
     val files = spark.createDataFrame(
-      cellFileStats(spark, indexPath).toSeq.map { case (c, (f, b)) => (c, f, b) })
+      perCell.toSeq.map { case (c, (f, b)) => (c, f, b) })
       .toDF("cell", "files", "bytes")
     val ts = loadTombstones(spark, indexPath) match {
       case Some(t) => t.groupBy(col("cell")).agg(count(lit(1)).as("tombstones"))
@@ -611,15 +618,26 @@ object Similarity {
   private def appendTombstones(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, resolved: DataFrame): Long = {
     val dir = s"$indexPath/$TombstonesDir"
-    def count(): Long = loadTombstones(spark, indexPath).map(_.count()).getOrElse(0L)
-    val before = count()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(): Set[String] =
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).toSet
+    val before = files()
     // one file per remove call: the store stays a handful of small files
     // between compactions (which clear it); tombstone sets are tiny next to
     // the index, so a single writer task is the right shape
     resolved.repartition(1).write.mode("append").parquet(dir)
-    val added = count() - before
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // count ONLY the files this call wrote (footer-metadata count): the
+    // return value must stay O(delete batch) even when the pending backlog
+    // is large — two full-store scans here would make every small remove
+    // pay the whole backlog
+    val fresh = files() -- before
+    val added =
+      if (fresh.isEmpty) 0L
+      else spark.read.parquet(fresh.toSeq: _*).count()
     val bytes = scala.util.Try(fs.getContentSummary(p).getLength).getOrElse(0L)
     tombstoneBacklogWarning(bytes).foreach(System.err.println)
     added
@@ -680,7 +698,9 @@ object Similarity {
         val dest = new org.apache.hadoop.fs.Path(root, s.getPath.getName)
         val fresh = new org.apache.hadoop.fs.Path(tmp, s.getPath.getName)
         if (!fs.exists(dest)) {
-          fs.rename(s.getPath, dest)
+          require(fs.rename(s.getPath, dest),
+            s"compaction recovery: could not restore ${s.getPath} to $dest — " +
+              s"resolve manually before compacting")
           System.err.println(s"[graft] compactIndex: restored ${s.getPath.getName} " +
             s"from an interrupted prior compaction")
         } else if (fs.exists(fresh)) {
@@ -714,7 +734,9 @@ object Similarity {
     val tsTmp = new org.apache.hadoop.fs.Path(root, s"$TombstonesDir.tmp")
     if (fs.exists(tsTmp)) {
       if (!fs.exists(tsDir)) {
-        fs.rename(tsTmp, tsDir)
+        require(fs.rename(tsTmp, tsDir),
+          s"compaction recovery: could not finish the tombstone-store swap " +
+            s"($tsTmp -> $tsDir) — resolve manually before compacting")
         System.err.println("[graft] compactIndex: completed an interrupted " +
           "tombstone-store rewrite (pending deletions preserved)")
       } else fs.delete(tsTmp, true)
@@ -838,12 +860,25 @@ object Similarity {
     // in, trash dropped last. A cell emptied by tombstones has no tmp dir
     // and simply disappears from the index.
     val trash = new org.apache.hadoop.fs.Path(root, CompactTrashDir)
-    fs.mkdirs(trash)
+    // every FS mutation result is CHECKED: HadoopFileSystem.rename/mkdirs
+    // report many failure modes by returning false, not throwing — ignoring
+    // one would continue into the tmp delete + tombstone clear and silently
+    // resurrect tombstoned rows forever. Failing here instead leaves a torn
+    // state that probes/mutations refuse and the next compactIndex heals.
+    require(fs.mkdirs(trash), s"compactIndex: could not create $trash")
     selected.foreach { cell =>
       val live = new org.apache.hadoop.fs.Path(root, s"cell=$cell")
       val fresh = new org.apache.hadoop.fs.Path(tmp, s"cell=$cell")
-      if (fs.exists(live)) fs.rename(live, new org.apache.hadoop.fs.Path(trash, s"cell=$cell"))
-      if (fs.exists(fresh)) fs.rename(fresh, live)
+      if (fs.exists(live)) {
+        val aside = new org.apache.hadoop.fs.Path(trash, s"cell=$cell")
+        require(fs.rename(live, aside),
+          s"compactIndex: rename $live -> $aside failed; the index is left " +
+            s"recoverable (next compactIndex heals) and nothing was deleted")
+      }
+      if (fs.exists(fresh))
+        require(fs.rename(fresh, live),
+          s"compactIndex: rename $fresh -> $live failed; the index is left " +
+            s"recoverable (next compactIndex heals) and nothing was deleted")
     }
     fs.delete(trash, true)
     fs.delete(tmp, true)
@@ -879,7 +914,9 @@ object Similarity {
       val tsTmp = new org.apache.hadoop.fs.Path(root, s"$TombstonesDir.tmp")
       remaining.repartition(1).write.mode("overwrite").parquet(tsTmp.toString)
       fs.delete(tsDir, true)
-      fs.rename(tsTmp, tsDir)
+      require(fs.rename(tsTmp, tsDir),
+        s"tombstone-store rewrite: rename $tsTmp -> $tsDir failed; the " +
+          s"pending entries are safe in the tmp dir (next compactIndex heals)")
     }
   }
 
@@ -938,15 +975,15 @@ object Similarity {
       queryVec: String,
       k: Int,
       nProbe: Int = 4): DataFrame = {
-    val centroids = loadCentroids(spark, indexPath)
-    // one root listing: refuse torn post-crash state (rows may sit in the
-    // trash, tombstones mid-rewrite) and the degenerate zero-cell index
-    // (which would otherwise die in parquet schema inference with an
-    // unrelated-looking error)
+    // health FIRST (before the sidecar read): refuse torn post-crash state
+    // (rows may sit in the trash, tombstones mid-rewrite), the degenerate
+    // zero-cell index, and a missing index path — each would otherwise die
+    // with an unrelated-looking parquet error
     val healthRoot = new org.apache.hadoop.fs.Path(indexPath)
     checkIndexHealth(
       healthRoot.getFileSystem(spark.sparkContext.hadoopConfiguration),
       healthRoot, "ivfTopKFromIndex", requireCells = true)
+    val centroids = loadCentroids(spark, indexPath)
     val probe = math.min(nProbe, centroids.length)
     // materialized ONCE (small by contract — it broadcasts into the join):
     // the frame is read twice (probed-cell collect + the join), and a

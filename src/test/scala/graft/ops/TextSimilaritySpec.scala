@@ -517,6 +517,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == brute, "probe over an index with a deleted cell diverged")
   }
 
+  test("deleting EVERY row: stats dashboard reports zero cells, probe refuses with a clear error") {
+    val dim = 8
+    val corpus = (0 until 60).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
+    val centroids = Similarity.trainIvfCentroids(corpus, "vec", k = 2, sampleSize = 60)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_allgone_").toString
+    Similarity.assignCells(corpus, "id", "vec", centroids, idx)
+    Similarity.removeFromIndex(spark, idx, (0L until 60L).toDF("id"))
+    Similarity.compactIndex(spark, idx)
+    assert(!new java.io.File(idx, "_tombstones").exists)
+    // the dashboard must report the emptiness, not die in schema inference
+    assert(Similarity.indexCellStats(spark, idx).count() == 0L)
+    // and the probe refuses with the build/append guidance
+    val q = corpus.limit(1).select($"id".as("qid"), $"vec".as("qvec"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKFromIndex(spark, idx, q, "qid", "qvec", 1, 1)
+    }
+    assert(e.getMessage.contains("no data cells"), e.getMessage)
+    // the lifecycle continues: append rebuilds content against the sidecar
+    Similarity.appendToIndex(corpus.limit(10), "id", "vec", idx)
+    assert(Similarity.ivfTopKFromIndex(spark, idx, q, "qid", "qvec", 1,
+      centroids.length).count() == 1L)
+  }
+
   test("compactIndex maxBytes: a byte budget bounds one run; an over-budget cell still progresses") {
     val dim = 8
     val corpus = (0 until 200).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")

@@ -17,7 +17,10 @@ def val(v):
     # yields DATE — stringify both as "YYYY-MM-DD HH:MM:SS" so the compare
     # matches the driver's behavior instead of false-failing locally
     if isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
+        base = v.strftime("%Y-%m-%d %H:%M:%S")
+        # keep sub-second precision: truncating it would silently weaken the
+        # compare to second granularity for real (non-day-truncated) times
+        return base + (f".{v.microsecond:06d}" if v.microsecond else "")
     if isinstance(v, datetime.date):
         return v.strftime("%Y-%m-%d") + " 00:00:00"
     return str(v)
