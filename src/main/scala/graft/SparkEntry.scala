@@ -34,6 +34,27 @@ object SparkEntry {
     }
   }
 
+  /** State-store partition count for the streaming gates. Each state
+    * partition pays a per-micro-batch delta-file commit + restore, so the
+    * right size tracks the keyed-state cardinality and per-batch volume (5
+    * aggregate keys / ~10^4 dedup keys here), NOT the batch engine's shuffle
+    * default — inheriting local[32]'s 32 partitions made both gates pay 32
+    * state-store commits per batch for a handful of keys (measured on this
+    * box: 32 -> 4 partitions runs the sketch gate 4.0 -> 2.0 s and the
+    * dedup gate 5.3 -> 2.5 s, identical results). Production streams with
+    * large keyed state size this up via SPARK_GRAFT_STREAM_STATE_PARTITIONS;
+    * the count is fixed into each checkpoint at first start, exactly like
+    * any streaming deployment.
+    */
+  private def streamStatePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4")
+
+  /** CPU-spread for per-row-expensive projections over narrow inputs — see
+    * [[graft.ops.Spread.cpuBound]] (no-op at production input-split counts;
+    * results are row-order-insensitive everywhere it is applied).
+    */
+  private def spread(df: DataFrame): DataFrame = graft.ops.Spread.cpuBound(df)
+
   /** Flagship query on sf=0.001: approximate distinct doc_ids per language.
     * Driver smoke-checks rows > 0.
     */
@@ -280,8 +301,11 @@ object SparkEntry {
     // min-label propagation with pointer jumping; the DuckDB twin computes
     // connected components via a recursive CTE
     "q_dedup_clusters" -> ((s, dir) => {
-      val docs = read(s, dir, "documents")
-        .filter(col("doc_id") < 500)
+      // spread the 500-doc probe across cores BEFORE the shingle/word-count
+      // projections and the pair crossJoin: the single-file source would
+      // otherwise run the whole O(n^2) jaccard verify on one task
+      val docs = spread(read(s, dir, "documents")
+          .select(col("doc_id"), col("text")).filter(col("doc_id") < 500))
         .filter(size(filter(split(lower(col("text")), "[^\\p{L}\\p{N}]+"),
           w => length(w) > 0)) >= 5)
       val sh = docs.select(col("doc_id"), shingle_set(col("text"), 5).as("s"))
@@ -313,7 +337,7 @@ object SparkEntry {
 
     // text statistics with exact SQL twins
     "q_text_stats" -> ((s, dir) =>
-      read(s, dir, "documents").select(
+      spread(read(s, dir, "documents").select(col("doc_id"), col("text"))).select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         graft.ops.TextOps.tokenCountWhitespace(col("text")).cast("long").as("tok_ws"))),
@@ -321,7 +345,7 @@ object SparkEntry {
     // language-ID + quality + BPE-ish tokens: deterministic regexp/length
     // arithmetic with an exact DuckDB twin (stopword-profile argmax included)
     "q_text_quality" -> ((s, dir) =>
-      read(s, dir, "documents").select(
+      spread(read(s, dir, "documents").select(col("doc_id"), col("text"))).select(
         col("doc_id"),
         graft.ops.TextOps.langId(col("text")).as("lang_pred"),
         graft.ops.TextOps.qualityScore(col("text")).as("quality"),
@@ -330,7 +354,7 @@ object SparkEntry {
     // wyhash-based fingerprints (not SQL-expressible; rows-only check —
     // the hash itself is pinned by WyHashVectorsSpec)
     "q_text_fingerprint" -> ((s, dir) =>
-      read(s, dir, "documents").select(
+      spread(read(s, dir, "documents").select(col("doc_id"), col("text"))).select(
         col("doc_id"),
         graft.ops.TextOps.docFingerprint(col("text")).as("fingerprint"),
         simhash64(col("text")).as("simhash"))),
@@ -609,6 +633,7 @@ object SparkEntry {
         // already-scheduled maintenance keeps the interval it started with,
         // so restoring after the streaming runs finish is sound)
         "spark.sql.streaming.stateStore.maintenanceInterval", "1h") {
+      withConf(s, "spark.sql.shuffle.partitions", streamStatePartitions) {
       import org.apache.spark.sql.streaming.Trigger
       val base = java.nio.file.Files.createTempDirectory("graft_stream_").toString
       val inDir = s"$base/in"
@@ -645,7 +670,7 @@ object SparkEntry {
         .select(col("event_type"),
           col("approx_distinct").as("distinct_user_buckets"),
           ce_estimate(col("sketch")).as("distinct_from_sketch"))
-    }),
+    } }),
 
     // REAL resize driven end-to-end: test card -> area-averaging thumbnail
     // (real java.awt scaling + PNG re-encode) -> REAL decode of the
@@ -676,6 +701,7 @@ object SparkEntry {
     // query restarts.
     "q_stream_dedup_restore" -> ((s, dir) => withConf(s,
         "spark.sql.streaming.stateStore.maintenanceInterval", "1h") {
+      withConf(s, "spark.sql.shuffle.partitions", streamStatePartitions) {
       import org.apache.spark.sql.streaming.Trigger
       val base = java.nio.file.Files.createTempDirectory("graft_stream_dedup_").toString
       val inDir = s"$base/in"
@@ -719,7 +745,7 @@ object SparkEntry {
       s.read.parquet(outDir).agg(
         count(lit(1)).as("kept"),
         countDistinct(col("text")).as("kept_distinct"))
-    }),
+    } }),
 
     // multimodal: binary blob features (decode stubs are exercised in sbt test)
     "q_multimodal_features" -> ((s, dir) =>

@@ -102,9 +102,14 @@ object Dedup {
     */
   private def nonEmptySigs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleSize: Int): DataFrame =
-    df.select(
-        col(idCol).as("_id"),
-        minhash_signature(col(textCol), numHashes, shingleSize).as("_sig"))
+    // signature hashing is the CPU wall of this pass: spread the projected
+    // (id, text) frame first so a narrow input (single-row-group table)
+    // cannot serialize it onto one task (Spread.cpuBound is a no-op at
+    // production input-split counts)
+    Spread.cpuBound(df.select(col(idCol).as("_id"), col(textCol).as("_t")))
+      .select(
+        col("_id"),
+        minhash_signature(col("_t"), numHashes, shingleSize).as("_sig"))
       .filter(element_at(col("_sig"), 1) =!= Long.MaxValue)
 
   /** Degenerate-bucket guard shared by every LSH self-join: a bucket key
@@ -265,6 +270,11 @@ object Dedup {
       textCol: String,
       numHashes: Int = 128,
       shingleSize: Int = 5): DataFrame =
+    // NOT spread (unlike nonEmptySigs): this frame is typically written
+    // straight to the fingerprint store, and a repartition here fans the
+    // write out into one tiny file per core on narrow inputs (measured:
+    // +0.3 s on the onsigs gate) — callers who burn CPU on it downstream
+    // get the spread from the pairs path instead
     df.select(col(idCol),
       minhash_signature(col(textCol), numHashes, shingleSize).as("minhash_sig"))
 
@@ -719,7 +729,10 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Int = 10000): DataFrame =
     simHashNearDupPairsOnHashes(
-      df.select(col(idCol), simhash64(col(textCol)).as("__graft_sh"))
+      // simhash64 tokenizes + hashes every word: spread the projected
+      // (id, text) frame so a narrow input cannot serialize the hash pass
+      Spread.cpuBound(df.select(col(idCol), col(textCol)))
+        .select(col(idCol), simhash64(col(textCol)).as("__graft_sh"))
         // hash 0 is the zero-FEATURE case (empty/whitespace/punct-only text:
         // no word hashes, all counters 0) — the simhash analogue of minhash's
         // shingle-less sentinel. Such docs carry no content signal, yet all
