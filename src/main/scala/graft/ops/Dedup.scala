@@ -558,6 +558,20 @@ object Dedup {
     * `iterations` rounds, so the caller owns the chain-length contract
     * (diameter <= ~2^iterations).
     */
+  /** Edge-count ceiling for the driver-side connected-components fast path
+    * of [[nearDupClusters]] (0 disables it). Near-dup pair lists are tiny
+    * next to their corpus — when the whole list fits comfortably on the
+    * driver, union-find there replaces the per-round join/checkpoint/probe
+    * job cascade of the distributed loop (measured: ~1.3 s of fixed cost per
+    * clustering at bench scale) with ONE collect; past the ceiling the
+    * distributed loop runs exactly as before, so corpus-scale pair lists
+    * never touch the driver.
+    */
+  private def ccDriverMaxEdges: Int =
+    sys.props.get("graft.cc.driver.max.edges")
+      .orElse(sys.env.get("SPARK_GRAFT_CC_DRIVER_MAX_EDGES"))
+      .map(_.toInt).getOrElse(1000000)
+
   def nearDupClusters(
       df: DataFrame,
       idCol: String,
@@ -567,6 +581,33 @@ object Dedup {
     // iterations <= 0 would skip the loop entirely and return all-self labels
     // while (with converge) printing a spurious budget-exhausted warning
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // Driver fast path: when the pair list is small (the normal case — LSH
+    // pair lists are a sliver of the corpus), collect it once and run exact
+    // union-find with min-label roots on the driver. Identical semantics to
+    // the converged loop below: component minima as labels, and edges with
+    // an endpoint outside `df` neither receive labels nor bridge components
+    // (a membership probe resolves that before any union). Only for eager
+    // (converge) mode — lazy mode is contractually a pure plan builder — and
+    // long ids (the min-label order of other types belongs to Catalyst).
+    // Side benefit: the collect is a plain action over the pairs plan, so
+    // the LSH bucket-cap observe metric upstream is delivered IN-PLAN here —
+    // the lazy-checkpoint delivery miss (and its measure-on-miss re-run of
+    // the banding aggregate, one extra pass per clustering) only remains on
+    // the distributed path.
+    if (converge && ccDriverMaxEdges > 0 &&
+        df.schema(idCol).dataType == org.apache.spark.sql.types.LongType) {
+      val cap = ccDriverMaxEdges
+      val collected = pairs
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        // null-endpoint edges are inert in the distributed loop (equi-joins
+        // skip null keys) — dropping them here is the identical semantics
+        .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+        .head(cap + 1)
+      if (collected.length <= cap)
+        return driverClusters(df, idCol, collected)
+      // else: fall through — the distributed loop re-evaluates `pairs`
+      // (same cost the loop always paid; the oversized head() is discarded)
+    }
     // Materialized once (lazily): the pair list is typically itself an LSH
     // pipeline, and every iteration joins against it.
     val edges = pairs.select(col("id_a"), col("id_b"))
@@ -646,6 +687,75 @@ object Dedup {
     val fin = labels.select(col("_id"), col("cluster_id"))
     df.select(col(idCol).as("_id"))
       .join(fin, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("cluster_id"), col("_id")).as("cluster_id"))
+  }
+
+  /** Driver-side exact connected components for [[nearDupClusters]]' fast
+    * path: union-find with path compression over the collected edge list,
+    * roots resolved to component minima — the same labeling the converged
+    * distributed loop computes. Edges touching an id absent from `df` are
+    * dropped BEFORE any union (one broadcast semi-probe of `df`'s id column
+    * resolves membership), preserving the contract that outside endpoints
+    * neither receive labels nor bridge components.
+    */
+  private def driverClusters(df: DataFrame, idCol: String,
+      edgeRows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val labelSchema = StructType(Seq(
+      StructField("_id", LongType), StructField("cluster_id", LongType)))
+    val endpoints: Array[Long] = {
+      val s = new java.util.HashSet[java.lang.Long]()
+      edgeRows.foreach { r => s.add(r.getLong(0)); s.add(r.getLong(1)) }
+      val out = new Array[Long](s.size)
+      val it = s.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      out
+    }
+    val present = new java.util.HashSet[java.lang.Long]()
+    if (endpoints.nonEmpty) {
+      val epDf = spark.createDataFrame(
+        java.util.Arrays.asList(endpoints.map(e => Row(e)): _*),
+        StructType(Seq(StructField("_ep", LongType))))
+      // membership probe: one projected scan of df's id column against the
+      // broadcast endpoint set (bounded by 2x the edge cap)
+      df.select(col(idCol).as("_ep"))
+        .join(broadcast(epDf), Seq("_ep"), "left_semi")
+        .distinct().collect().foreach(r => present.add(r.getLong(0)))
+    }
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edgeRows.foreach { e =>
+      val a = e.getLong(0)
+      val b = e.getLong(1)
+      if (present.contains(a) && present.contains(b)) {
+        val ra = find(a)
+        val rb = find(b)
+        // union by min root: keeps find() roots already component-minimal
+        if (ra < rb) { parent(b) = ra; parent(rb) = ra }
+        else if (rb < ra) { parent(a) = rb; parent(ra) = rb }
+      }
+    }
+    // every touched node labels to its root (== component min, since unions
+    // always kept the smaller root); untouched df ids self-label via the
+    // final coalesce
+    val labelRows: java.util.List[Row] = {
+      val out = new java.util.ArrayList[Row](parent.size)
+      parent.foreachKey { n => out.add(Row(n, find(n))) }
+      out
+    }
+    val fin = spark.createDataFrame(labelRows, labelSchema)
+    df.select(col(idCol).as("_id"))
+      .join(broadcast(fin), Seq("_id"), "left")
       .select(col("_id").as(idCol),
         coalesce(col("cluster_id"), col("_id")).as("cluster_id"))
   }

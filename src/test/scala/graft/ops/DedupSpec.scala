@@ -299,6 +299,29 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("nearDupClusters driver fast path == distributed loop (cap fallback), incl. outside endpoints") {
+    // pairs reference id 2 which is NOT in df: it must neither receive a
+    // label nor bridge 1 and 3 — on BOTH paths
+    val docs = Seq(1L, 3L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 5L)).toDF("id_a", "id_b")
+    def run(): Map[Long, Long] =
+      Dedup.nearDupClusters(docs, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = run() // default cap: driver union-find
+    val slow = try {
+      sys.props("graft.cc.driver.max.edges") = "0" // disable: distributed loop
+      run()
+    } finally sys.props.remove("graft.cc.driver.max.edges")
+    val overCap = try {
+      sys.props("graft.cc.driver.max.edges") = "2" // 3 edges > cap: fallback
+      run()
+    } finally sys.props.remove("graft.cc.driver.max.edges")
+    assert(fast == Map(1L -> 1L, 3L -> 3L, 5L -> 3L),
+      s"outside endpoint 2 must not bridge 1 and 3: $fast")
+    assert(slow == fast, s"distributed loop diverged: $slow vs $fast")
+    assert(overCap == fast, s"over-cap fallback diverged: $overCap vs $fast")
+  }
+
   test("nearDupClusters plan size is O(1) in iterations (lineage truncated, lazy mode)") {
     val docs = ((1L to 11L) :+ 99L).toDF("doc_id")
     val pairs = (1L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
