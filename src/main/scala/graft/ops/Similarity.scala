@@ -630,14 +630,17 @@ object Similarity {
     // between compactions (which clear it); tombstone sets are tiny next to
     // the index, so a single writer task is the right shape
     resolved.repartition(1).write.mode("append").parquet(dir)
-    // count ONLY the files this call wrote (footer-metadata count): the
-    // return value must stay O(delete batch) even when the pending backlog
-    // is large — two full-store scans here would make every small remove
-    // pay the whole backlog
+    // count ONLY the files this call wrote, straight from their parquet
+    // footers on the driver (identical to what a Spark count() would resolve
+    // from, minus the job): the return value stays O(delete batch) even when
+    // the pending backlog is large — two full-store scans here would make
+    // every small remove pay the whole backlog
     val fresh = files() -- before
     val added =
       if (fresh.isEmpty) 0L
-      else spark.read.parquet(fresh.toSeq: _*).count()
+      else ParquetFooters.recordCount(
+        spark.sparkContext.hadoopConfiguration,
+        fresh.toSeq.map(new org.apache.hadoop.fs.Path(_)))
     val bytes = scala.util.Try(fs.getContentSummary(p).getLength).getOrElse(0L)
     tombstoneBacklogWarning(bytes).foreach(System.err.println)
     added
@@ -800,7 +803,10 @@ object Similarity {
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompaction(fs, root)
-    val tombstoneCells: Set[Int] = loadTombstones(spark, indexPath) match {
+    // ONE tombstone-store load serves both the cell-selection set here and
+    // the anti-join / store-rewrite below (it was loaded twice before)
+    val pending = loadTombstones(spark, indexPath)
+    val tombstoneCells: Set[Int] = pending match {
       case Some(ts) => ts.select(col("cell")).distinct().collect()
         .map(_.getInt(0)).toSet
       case None => Set.empty
@@ -836,7 +842,6 @@ object Similarity {
       }
       return Seq.empty
     }
-    val pending = loadTombstones(spark, indexPath)
     val rows0 = spark.read.parquet(indexPath)
       .filter(col("cell").isin(selected.map(c => c: Any): _*))
     // anti-join on (cell, id), like the probe path: a wrong-cell tombstone
@@ -927,12 +932,27 @@ object Similarity {
     */
   private def warnCellSkew(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, caller: String): Unit = {
-    // an empty index (all rows dirty, or an empty daily input) has no data
-    // files to infer a schema from — a legitimate build, not a reason to
-    // throw AFTER every write already succeeded
-    val rows = scala.util.Try(indexCellStats(spark, indexPath)
-      .select(col("rows")).collect().map(_.getLong(0)))
-      .getOrElse(Array.empty[Long])
+    // per-cell row counts come from parquet FOOTERS on the driver — the
+    // warning needs rows-per-cell only, and the previous indexCellStats call
+    // (index read + groupBy + two joins + collect) cost ~0.3-0.5 s of pure
+    // observability per build/append. Footer reads are bounded by file
+    // count, so this stays trivial on a 100 TB index. An empty index (all
+    // rows dirty, or an empty daily input) is a legitimate build, not a
+    // reason to throw AFTER every write already succeeded — hence the Try.
+    val rows = scala.util.Try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) Array.empty[Long]
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .map { s =>
+          ParquetFooters.recordCount(conf,
+            fs.listStatus(s.getPath)
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              .map(_.getPath).toSeq)
+        }.toArray
+    }.getOrElse(Array.empty[Long])
     if (rows.length > 1) {
       val mean = rows.sum.toDouble / rows.length
       val max = rows.max
@@ -945,14 +965,32 @@ object Similarity {
     }
   }
 
-  /** Reads the centroid sidecar of a persisted IVF index. */
+  /** Reads the centroid sidecar of a persisted IVF index. The sidecar is a
+    * single tiny parquet file, so it is read driver-side from the file
+    * directly (no Spark job — probes and appends each load it, and the
+    * scheduling round-trip cost ~0.15 s per call at bench scale); any
+    * unexpected file shape falls back to the Spark read.
+    */
   def loadCentroids(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): Array[Array[Double]] =
-    spark.read.parquet(s"$indexPath/$CentroidsDir")
-      .orderBy(col("idx"))
-      .select(col("centroid"))
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
+      indexPath: String): Array[Array[Double]] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$indexPath/$CentroidsDir")
+    val conf = spark.sparkContext.hadoopConfiguration
+    scala.util.Try {
+      val fs = dir.getFileSystem(conf)
+      fs.listStatus(dir).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .flatMap(f => ParquetFooters.readCentroids(conf, f.getPath))
+        .sortBy(_._1)
+        .map(_._2)
+        .toArray
+    }.filter(_.nonEmpty).getOrElse {
+      spark.read.parquet(dir.toString)
+        .orderBy(col("idx"))
+        .select(col("centroid"))
+        .collect()
+        .map(_.getSeq[Double](0).toArray)
+    }
+  }
 
   /** ANN top-k against a persisted IVF index ([[assignCells]]): each query
     * probes its `nProbe` nearest cells, and the probed cell set — collected
@@ -985,22 +1023,42 @@ object Similarity {
       healthRoot, "ivfTopKFromIndex", requireCells = true)
     val centroids = loadCentroids(spark, indexPath)
     val probe = math.min(nProbe, centroids.length)
-    // materialized ONCE (small by contract — it broadcasts into the join):
-    // the frame is read twice (probed-cell collect + the join), and a
-    // nondeterministic query source re-evaluated between the two reads
-    // could probe cells the scan was not pruned to — silently missing
-    // neighbors. The eager localCheckpoint pins one evaluation for both.
-    val queryCells = queries.select(
+    // the query side is COLLECTED once (small by contract — it broadcasts
+    // into the join anyway): one job yields both the distinct probed-cell
+    // set (a literal IN over the partition column — static partition
+    // pruning, the strongest pruning Spark has) and the join side itself as
+    // a local relation, whose broadcast costs no further job. This replaces
+    // the previous eager-localCheckpoint + distinct-collect pair (two jobs)
+    // and pins one evaluation even harder: a nondeterministic query source
+    // cannot probe cells the scan was not pruned to.
+    val prep = queries.select(
       col(queryId).as("query_id"), col(queryVec).as("_qv"),
       norm(col(queryVec)).as("_qn"),
-      explode(graft.functions.nearest_centroids(col(queryVec), centroids, probe))
-        .as("_cell"))
-      .localCheckpoint(eager = true)
-    // collecting the distinct probed cells costs one tiny job and buys a
-    // literal IN over the partition column — static partition pruning, the
-    // strongest pruning Spark has
-    val probedCells: Array[Int] =
-      queryCells.select(col("_cell")).distinct().collect().map(_.getInt(0))
+      graft.functions.nearest_centroids(col(queryVec), centroids, probe)
+        .as("_cells"))
+    val qRows = prep.collect()
+    val cellType = prep.schema.fields(3).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val cellSchema = org.apache.spark.sql.types.StructType(
+      prep.schema.fields.take(3).toSeq :+
+        org.apache.spark.sql.types.StructField("_cell", cellType))
+    val explodedRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    qRows.foreach { r =>
+      val cells = r.getSeq[Int](3)
+      // dirty query vector -> empty/null cell list -> no rows, like explode
+      if (cells != null)
+        cells.foreach(c => explodedRows.add(
+          org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), c)))
+    }
+    val queryCells = spark.createDataFrame(explodedRows, cellSchema)
+    val probedCells: Array[Int] = {
+      val s = scala.collection.mutable.SortedSet[Int]()
+      qRows.foreach { r =>
+        val cells = r.getSeq[Int](3)
+        if (cells != null) cells.foreach(s += _)
+      }
+      s.toArray
+    }
     val index = spark.read.parquet(indexPath)
     val prunedRaw =
       if (probedCells.isEmpty) index.filter(lit(false)) // all queries dirty
