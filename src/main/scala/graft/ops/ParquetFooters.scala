@@ -23,6 +23,45 @@ private[ops] object ParquetFooters {
       try r.getRecordCount finally r.close()
     }.sum
 
+  /** Writes an `(idx int, centroid array<double>)` sidecar file in the same
+    * standard 3-level list layout Spark writes, so both [[readCentroids]]
+    * and a Spark parquet read consume it unchanged. Returns the file path;
+    * callers verify by read-back and fall back to a Spark write on any
+    * mismatch.
+    */
+  def writeCentroids(conf: Configuration, dir: Path,
+      centroids: Array[Array[Double]]): Path = {
+    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message spark_schema {
+        |  required int32 idx;
+        |  required group centroid (LIST) {
+        |    repeated group list {
+        |      required double element;
+        |    }
+        |  }
+        |}""".stripMargin)
+    val fs = dir.getFileSystem(conf)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    val file = new Path(dir, "part-00000-centroids.parquet")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+      .withConf(conf)
+      .withType(schema)
+      .build()
+    try {
+      val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+      centroids.zipWithIndex.foreach { case (c, i) =>
+        val g = factory.newGroup()
+        g.add("idx", i)
+        val lst = g.addGroup("centroid")
+        c.foreach(v => lst.addGroup("list").add("element", v))
+        writer.write(g)
+      }
+    } finally writer.close()
+    file
+  }
+
   /** Reads an `(idx int, centroid array<double>)` sidecar file written by
     * Spark (standard 3-level list layout) via the parquet example Group API.
     * Returns (idx, centroid) pairs in file order; the caller sorts. Throws

@@ -391,13 +391,29 @@ object Similarity {
       .option("partitionOverwriteMode", "static")
       .mode("overwrite").parquet(indexPath)
     // sidecar AFTER the data write: overwrite of the index dir must not wipe
-    // a fresh sidecar
+    // a fresh sidecar. Written driver-side (the sidecar is a few KB — a
+    // Spark write job is pure scheduling overhead) and VERIFIED by bit-exact
+    // read-back; any surprise falls back to the Spark write, so a wrong
+    // sidecar can never be left behind silently.
     val spark = corpus.sparkSession
-    val rows = centroids.toSeq.zipWithIndex.map { case (c, i) =>
-      (i, c.toSeq)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sidecarDir = new org.apache.hadoop.fs.Path(s"$indexPath/$CentroidsDir")
+    val wroteDirect = centroids.nonEmpty && scala.util.Try {
+      val file = ParquetFooters.writeCentroids(conf, sidecarDir, centroids)
+      val back = ParquetFooters.readCentroids(conf, file).sortBy(_._1)
+      back.map(_._1) == centroids.indices.toSeq &&
+        back.map(_._2).zip(centroids.toSeq)
+          .forall { case (a, b) => java.util.Arrays.equals(a, b) }
+    }.getOrElse(false)
+    if (!wroteDirect) {
+      scala.util.Try(
+        sidecarDir.getFileSystem(conf).delete(sidecarDir, true))
+      val rows = centroids.toSeq.zipWithIndex.map { case (c, i) =>
+        (i, c.toSeq)
+      }
+      spark.createDataFrame(rows).toDF("idx", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(sidecarDir.toString)
     }
-    spark.createDataFrame(rows).toDF("idx", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/$CentroidsDir")
     warnCellSkew(spark, indexPath, "assignCells")
   }
 

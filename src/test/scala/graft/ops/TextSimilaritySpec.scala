@@ -265,6 +265,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("centroid sidecar: driver-written file is Spark-readable and loadCentroids is bit-exact") {
+    val dim = 8
+    val rnd = new scala.util.Random(31)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val centroids = Similarity.trainIvfCentroids(corpus, "embedding", k = 4,
+      sampleSize = 100)
+    val idx = java.nio.file.Files.createTempDirectory("graft_sidecar_spec_").toString
+    Similarity.assignCells(corpus, "vec_id", "embedding", centroids, idx)
+    // the fast path must have produced the driver-written file (a Spark
+    // fallback here would silently hide a broken writer)
+    val files = new java.io.File(s"$idx/_centroids").list().toSeq
+    assert(files.contains("part-00000-centroids.parquet"),
+      s"expected the driver-written sidecar, found: $files")
+    // plain Spark read (the fallback path + external consumers) agrees
+    val viaSpark = spark.read.parquet(s"$idx/_centroids")
+      .orderBy($"idx").select($"centroid").collect()
+      .map(_.getSeq[Double](0).toArray)
+    assert(viaSpark.length == centroids.length)
+    viaSpark.zip(centroids).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "spark-read sidecar diverged") }
+    // and the driver-side reader agrees bit for bit
+    val viaDriver = Similarity.loadCentroids(spark, idx)
+    assert(viaDriver.length == centroids.length)
+    viaDriver.zip(centroids).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "driver-read sidecar diverged") }
+  }
+
   test("appendToIndex: incremental rows join the index; fullprobe == brute force over the union") {
     val dim = 8
     val all = (0 until 300).map(i => (i.toLong, unitVec(dim, i)))
