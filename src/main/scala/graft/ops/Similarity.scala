@@ -828,10 +828,15 @@ object Similarity {
       case None => Set.empty
     }
     val liveStats = cellFileStats(spark, indexPath)
+    // tombstone-pending cells sort FIRST (then by fragmentation): under a
+    // bounded maxCells with ongoing appends, pure files-order could starve a
+    // low-file-count tombstoned cell indefinitely — its deleted rows would
+    // stay on disk and every probe would keep paying the anti-join for them
     val candidates = liveStats.toSeq
       .filter { case (cell, (files, _)) =>
         files > filesPerCell || tombstoneCells.contains(cell) }
-      .sortBy { case (cell, (files, _)) => (-files, cell) }
+      .sortBy { case (cell, (files, _)) =>
+        (if (tombstoneCells.contains(cell)) 0 else 1, -files, cell) }
       .take(maxCells)
     // cumulative byte budget, most-fragmented first; the head cell is always
     // taken (progress guarantee — and safe: the rewrite streams, so a single

@@ -421,6 +421,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.compactIndex(spark, idx, maxCells = 1).isEmpty)
   }
 
+  test("compactIndex maxCells: tombstone-pending cells are never starved by fragmentation order") {
+    val dim = 8
+    val corpus = (0 until 200).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
+    val centroids = Similarity.trainIvfCentroids(corpus, "vec", k = 4, sampleSize = 200)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_starve_").toString
+    Similarity.assignCells(corpus, "id", "vec", centroids, idx)
+    def onCentroid(c: Int, ids: Range) =
+      ids.map(i => (i.toLong, centroids(c).map(_.toFloat).toSeq)).toDF("id", "vec")
+    // cell 0: most fragmented (3 files); cell 1: 1 file + a PENDING tombstone
+    Similarity.appendToIndex(onCentroid(0, 1000 until 1010), "id", "vec", idx)
+    Similarity.appendToIndex(onCentroid(0, 1010 until 1020), "id", "vec", idx)
+    val idsInCell1 = spark.read.parquet(idx).filter($"cell" === 1)
+      .select($"id").limit(1).collect().map(_.getLong(0))
+    assert(idsInCell1.nonEmpty, "fixture: cell 1 must hold rows")
+    Similarity.removeFromIndex(spark, idx, idsInCell1.toSeq.toDF("id"))
+    // pure files-order would pick cell 0 forever under maxCells = 1 with
+    // ongoing appends — the tombstoned cell must win the bounded slot
+    val first = Similarity.compactIndex(spark, idx, maxCells = 1)
+    assert(first == Seq(1), s"tombstoned cell must compact first: $first")
+    val second = Similarity.compactIndex(spark, idx, maxCells = 1)
+    assert(second == Seq(0), s"fragmentation follows once deletions applied: $second")
+  }
+
   test("compactIndex never reads untouched cells (poison proof at the I/O level)") {
     val dim = 8
     val corpus = (0 until 300).map(i => (i.toLong, unitVec(dim, i))).toDF("id", "vec")
