@@ -246,7 +246,13 @@ object SparkEntry {
     "q_dedup_minhash_pairs_onsigs" -> ((s, dir) => {
       val docs = read(s, dir, "documents")
       val sigDir = java.nio.file.Files.createTempDirectory("graft_sigs_").toString
-      graft.ops.Dedup.minHashSignatures(docs, "doc_id", "text")
+      // spread the INPUT so the signature hashing parallelizes (single-file
+      // source = one task otherwise), then fan the store write back in to a
+      // couple of files — the computed signatures are ~5 MB here, so the
+      // second exchange is noise next to the saved single-task hash pass
+      graft.ops.Dedup.minHashSignatures(
+          spread(docs.select(col("doc_id"), col("text"))), "doc_id", "text")
+        .repartition(2)
         .write.mode("overwrite").parquet(sigDir)
       graft.ops.Dedup.minHashNearDupPairsOnSignatures(
           s.read.parquet(sigDir), "doc_id", "minhash_sig", threshold = 0.8)
