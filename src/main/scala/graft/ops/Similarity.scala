@@ -363,7 +363,14 @@ object Similarity {
     // parallel tasks into filesPerCell files; size it so each file lands
     // near ~1 GB (filesPerCell ~ cellBytes / 1 GB). Readers are unaffected:
     // the salt never leaves the shuffle key.
-    else if (filesPerCell == 1) assigned.repartition(col("cell"))
+    // A SINGLE-partition input already yields the identical one-file-per-cell
+    // layout from partitionBy alone — the cell shuffle would only add an
+    // exchange (the tiny-batch append case; any multi-partition input keeps
+    // the shuffle, so the anti-fan-out guarantee is unchanged at scale).
+    else if (filesPerCell == 1) {
+      if (assigned.queryExecution.toRdd.getNumPartitions <= 1) assigned
+      else assigned.repartition(col("cell"))
+    }
     // explicit partition count (one per composite key, +-hash collisions):
     // without it AQE's advisory-size coalescing would merge the salted
     // partitions right back into one writer task per cell on modest data —
@@ -875,7 +882,12 @@ object Similarity {
       case None => rows0
     }
     val relaid =
-      if (filesPerCell == 1) rows.repartition(selected.length, col("cell"))
+      // single-partition input: partitionBy alone already writes one file per
+      // cell — the cell shuffle would only add an exchange (same reasoning,
+      // and the same layout guarantee, as assignedFrame's skip)
+      if (filesPerCell == 1 &&
+          rows.queryExecution.toRdd.getNumPartitions <= 1) rows
+      else if (filesPerCell == 1) rows.repartition(selected.length, col("cell"))
       // same salted fan-out as the build (assignedFrame): huge cells rewrite
       // in parallel instead of through one straggler task
       else rows.repartition(selected.length * filesPerCell, col("cell"),
