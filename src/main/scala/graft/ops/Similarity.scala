@@ -365,10 +365,12 @@ object Similarity {
     // the salt never leaves the shuffle key.
     // A SINGLE-partition input already yields the identical one-file-per-cell
     // layout from partitionBy alone — the cell shuffle would only add an
-    // exchange (the tiny-batch append case; any multi-partition input keeps
-    // the shuffle, so the anti-fan-out guarantee is unchanged at scale).
+    // exchange (the tiny-batch append case; any multi-partition or
+    // adaptive-planned input keeps the shuffle, so the anti-fan-out
+    // guarantee is unchanged at scale and the probe itself is always free —
+    // see Spread.staticPartitionCount).
     else if (filesPerCell == 1) {
-      if (assigned.queryExecution.toRdd.getNumPartitions <= 1) assigned
+      if (Spread.staticPartitionCount(assigned).exists(_ <= 1)) assigned
       else assigned.repartition(col("cell"))
     }
     // explicit partition count (one per composite key, +-hash collisions):
@@ -884,9 +886,14 @@ object Similarity {
     val relaid =
       // single-partition input: partitionBy alone already writes one file per
       // cell — the cell shuffle would only add an exchange (same reasoning,
-      // and the same layout guarantee, as assignedFrame's skip)
-      if (filesPerCell == 1 &&
-          rows.queryExecution.toRdd.getNumPartitions <= 1) rows
+      // and the same layout guarantee, as assignedFrame's skip). Probed on
+      // the PRUNED SCAN (rows0), never on the tombstone anti-join: probing
+      // an adaptive plan would pre-execute its stages (see
+      // Spread.staticPartitionCount), and a broadcast anti-join preserves
+      // the probe side's partitioning anyway — with pending tombstones the
+      // shuffle is simply kept.
+      if (filesPerCell == 1 && pending.isEmpty &&
+          Spread.staticPartitionCount(rows0).exists(_ <= 1)) rows
       else if (filesPerCell == 1) rows.repartition(selected.length, col("cell"))
       // same salted fan-out as the build (assignedFrame): huge cells rewrite
       // in parallel instead of through one straggler task

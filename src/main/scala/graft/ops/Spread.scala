@@ -32,7 +32,23 @@ object Spread {
     */
   def cpuBound(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val current = df.queryExecution.toRdd.getNumPartitions
-    if (current >= target) df else df.repartition(target)
+    staticPartitionCount(df) match {
+      case Some(current) if current < target => df.repartition(target)
+      case _ => df
+    }
   }
+
+  /** Partition count of `df`'s physical plan, ONLY when probing it is free:
+    * a non-adaptive plan (no exchanges) builds its RDD lazily, so
+    * `execute().getNumPartitions` runs no job. An AQE-wrapped plan would
+    * MATERIALIZE its intermediate query stages on `execute()` — real jobs,
+    * re-run again by the caller's own action — so adaptive plans return None
+    * and callers keep their default behavior.
+    */
+  def staticPartitionCount(df: DataFrame): Option[Int] =
+    df.queryExecution.executedPlan match {
+      case _: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        None
+      case p => Some(p.execute().getNumPartitions)
+    }
 }

@@ -299,6 +299,17 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("Spread.staticPartitionCount: free probe on plain scans, None on adaptive plans") {
+    val plain = spark.range(10).toDF("id").select($"id")
+    assert(Spread.staticPartitionCount(plain).nonEmpty,
+      "a no-exchange plan must yield a free partition count")
+    // a groupBy introduces an exchange -> AQE wraps the plan; probing it
+    // would MATERIALIZE query stages, so the helper must refuse
+    val adaptive = spark.range(10).toDF("id").groupBy($"id").count()
+    assert(Spread.staticPartitionCount(adaptive).isEmpty,
+      "an AQE-wrapped plan must not be probed (stage materialization)")
+  }
+
   test("nearDupClusters driver fast path == distributed loop (cap fallback), incl. outside endpoints") {
     // pairs reference id 2 which is NOT in df: it must neither receive a
     // label nor bridge 1 and 3 — on BOTH paths
